@@ -1,0 +1,172 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Span-document extraction operators (SURVEY.md §2.7 F1-F21, §2.8 G11).
+  *
+  * Every operator here is a row-local Catalyst higher-order-function pipeline
+  * over the `spans` array — no UDFs, no shuffle, whole-stage-codegen friendly.
+  * Semantics mirror the reference scraper's parse of a fetched page:
+  *
+  *  - email: first regex match over the page text (reference `scraper.py:133-136`)
+  *  - research interests: the text block after the first heading matching
+  *    /research/i, split on `[,;•]`, trimmed, empties dropped
+  *    (reference `scraper.py:122-130`)
+  *  - publications: `listitem` spans after the first heading matching
+  *    /publications|selected publications/i up to the next heading, capped at
+  *    5 in document order (reference `scraper.py:139-158`)
+  *  - index rows: each `heading` span starts a faculty row; the first `link`
+  *    and first `text` span before the next heading are the profile anchor
+  *    and title (reference `scraper.py:43-55`, where the anchor sits inside
+  *    the name element)
+  *
+  * The span-model semantics are defined here once; `graft.oracle` re-states
+  * them as an independent sequential loop — the exactness tests compare the
+  * two (BASELINE.json: per-row span-sequence equality).
+  */
+object SpanExtract {
+
+  /** Reference email regex, verbatim from `scraper.py:133`. */
+  val EmailRe = """\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b"""
+  /** Reference year regex, verbatim from `main.py:263`. */
+  val YearRe = """\b(19|20)\d{2}\b"""
+
+  private val MaxOff = 2147483647
+
+  /** Spans sorted by document offset — all downstream ops assume this order. */
+  def sortedSpans(spans: Column): Column =
+    array_sort(spans, (a, b) => a.getField("offset") - b.getField("offset"))
+
+  /** Page text in document order (span texts joined by a single space) —
+    * the span-model analog of bs4 `get_text()` (reference `scraper.py:134`).
+    */
+  def fullText(spans: Column): Column =
+    array_join(transform(spans, s => s.getField("text")), " ")
+
+  /** First email in document order; "" when none (reference `scraper.py:133-136`). */
+  def email(spans: Column): Column =
+    regexp_extract(fullText(spans), EmailRe, 0)
+
+  /** Offset of the first heading whose text matches the (case-insensitive,
+    * search-anywhere) pattern; MaxOff when absent.
+    */
+  private def firstHeadingOffset(spans: Column, pattern: String): Column =
+    aggregate(
+      filter(spans, s =>
+        s.getField("kind") === "heading" &&
+          s.getField("text").rlike("(?i)" + pattern)),
+      lit(MaxOff),
+      (acc, s) => least(acc, s.getField("offset")))
+
+  /** Offset of the first heading strictly after `off`; MaxOff when none. */
+  private def nextHeadingOffset(spans: Column, off: Column): Column =
+    aggregate(
+      filter(spans, s => s.getField("kind") === "heading" && s.getField("offset") > off),
+      lit(MaxOff),
+      (acc, s) => least(acc, s.getField("offset")))
+
+  /** Research interests (reference `scraper.py:122-130`): text block after the
+    * /research/i heading, split on `[,;•]`, trimmed, empties dropped.
+    * Empty array when the heading or block is absent.
+    */
+  def researchInterests(spans: Column): Column = {
+    val hOff = firstHeadingOffset(spans, "research")
+    val blob = get(
+      filter(spans, s => s.getField("kind") === "text" && s.getField("offset") > hOff),
+      lit(0)).getField("text")
+    when(hOff === MaxOff || blob.isNull, array().cast("array<string>"))
+      .otherwise(
+        filter(transform(split(blob, "[,;•]"), x => trim(x)), x => length(x) > 0))
+  }
+
+  /** Publications (reference `scraper.py:139-158`): listitems after the
+    * /publications/i heading up to the next heading, first 5 in document order.
+    */
+  def publications(spans: Column): Column = {
+    val hOff  = firstHeadingOffset(spans, "publications|selected publications")
+    val nextH = nextHeadingOffset(spans, hOff)
+    val items = transform(
+      filter(spans, s =>
+        s.getField("kind") === "listitem" &&
+          s.getField("offset") > hOff && s.getField("offset") < nextH),
+      s => s.getField("text"))
+    when(hOff === MaxOff, array().cast("array<string>"))
+      .otherwise(slice(items, 1, 5))
+  }
+
+  /** Faculty index rows (reference `scraper.py:43-55`):
+    * array<struct<rank:int, name:string, title:string, href:string>>.
+    * `href`/`title` are null when the row has no anchor / no title text.
+    */
+  def indexRows(spans: Column): Column = {
+    val headings = filter(spans, s => s.getField("kind") === "heading")
+    transform(headings, (h, i) => {
+      val hOff  = h.getField("offset")
+      val nextH = nextHeadingOffset(spans, hOff)
+      val inRow = (s: Column) => s.getField("offset") > hOff && s.getField("offset") < nextH
+      val link = get(filter(spans, s => s.getField("kind") === "link" && inRow(s)), lit(0))
+      val text = get(filter(spans, s => s.getField("kind") === "text" && inRow(s)), lit(0))
+      struct(
+        i.as("rank"),
+        h.getField("text").as("name"),
+        coalesce(text.getField("text"), lit("")).as("title"),
+        link.getField("media_ref").as("href"))
+    })
+  }
+
+  /** Links on a page: array<struct<url:string, anchorKind:string, rank:bigint>>
+    * — `link` spans carry the href in `media_ref` (FIXTURES.md §A1). A link is
+    * "anchor" kind when it belongs to a faculty row (follows some heading),
+    * matching the reference following only the name-element anchor
+    * (`scraper.py:54-55`); links before the first heading are nav chrome.
+    */
+  def pageLinks(spans: Column): Column = {
+    val firstH = aggregate(
+      filter(spans, s => s.getField("kind") === "heading"),
+      lit(MaxOff), (acc, s) => least(acc, s.getField("offset")))
+    transform(
+      filter(spans, s => s.getField("kind") === "link"),
+      (s, i) => struct(
+        s.getField("media_ref").as("url"),
+        when(s.getField("offset") > firstH, lit("anchor")).otherwise(lit("nav"))
+          .as("anchorKind"),
+        i.cast("long").as("rank")))
+  }
+
+  /** First 19xx/20xx year in a string as nullable int (reference `main.py:263-265`). */
+  def pubYear(pub: Column): Column =
+    nullif(regexp_extract(pub, YearRe, 0), lit("")).cast("int")
+
+  /** name → (first, last): first token; last token when >1, else ""
+    * (reference `main.py:182-184`).
+    */
+  def firstName(name: Column): Column = get(split(name, " "), lit(0))
+  def lastName(name: Column): Column = {
+    val parts = split(name, " ")
+    when(size(parts) > 1, element_at(parts, -1)).otherwise(lit(""))
+  }
+
+  // ---- DataFrame-level pipelines over a docs table (url, depth, spans, ...) ----
+
+  /** Index-row table from depth-0 docs: (parent_url, rank, name, title, href). */
+  def indexRowsDF(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("row", explode(indexRows(sortedSpans(col("spans")))))
+      .select(
+        col("url").as("parent_url"),
+        col("row.rank").as("rank"),
+        col("row.name").as("name"),
+        col("row.title").as("title"),
+        col("row.href").as("href"))
+
+  /** Profile-field table from docs: (url, email, research_interests, publications). */
+  def profileFieldsDF(docs: DataFrame): DataFrame = {
+    val s = sortedSpans(col("spans"))
+    docs.select(
+      col("url"),
+      email(s).as("email"),
+      researchInterests(s).as("research_interests"),
+      publications(s).as("publications"))
+  }
+}
