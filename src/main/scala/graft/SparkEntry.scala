@@ -1,13 +1,94 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.crawl.CrawlQueries
+import graft.ops.{Ann, Dedup, Multimodal, TextOps}
+import graft.relational.StarQueries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator family from SURVEY.md §2 has a query here; those whose
+  * semantics are ANSI-SQL-expressible carry a DuckDB oracle in [[oracleSql]]
+  * (the driver's correctness gate); hash-keyed ops (MinHash/SimHash/LSH) and
+  * the full crawl are rows-only here and exactness-tested in ScalaTest
+  * against their own oracles.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    StarQueries.flagshipAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational surface (SURVEY §2.2-2.6)
+    "q_flagship_agg"     -> ((s, d) => StarQueries.flagshipAgg(s, d)),
+    "q_search_filter"    -> ((s, d) => StarQueries.searchFilter(s, d)),
+    "q_point_lookup"     -> ((s, d) => StarQueries.pointLookup(s, d)),
+    "q_topk_revenue"     -> ((s, d) => StarQueries.topkRevenue(s, d)),
+    "q_window_rank"      -> ((s, d) => StarQueries.windowRank(s, d)),
+    "q_semi_anti"        -> ((s, d) => StarQueries.semiAnti(s, d)),
+    "q_upsert_merge"     -> ((s, d) => StarQueries.upsertMerge(s, d)),
+    "q_interest_overlap" -> ((s, d) => StarQueries.interestOverlapTopk(s, d)),
+    "q_agg_lineitem"     -> ((s, d) => StarQueries.aggLineitem(s, d)),
+    "q_events_window"    -> ((s, d) => StarQueries.eventsWindow(s, d)),
+    // text analysis (SURVEY §2.7 + training-data ops)
+    "q_year_extract"     -> ((s, d) => TextOps.yearExtract(s, d)),
+    "q_token_stats"      -> ((s, d) => TextOps.tokenStats(s, d)),
+    "q_langid"           -> ((s, d) => TextOps.langId(s, d)),
+    "q_quality_score"    -> ((s, d) => TextOps.qualityScore(s, d)),
+    "q_fingerprint"      -> ((s, d) => TextOps.fingerprint(s, d)),
+    "q_tfidf_cosine"     -> ((s, d) => TextOps.tfidfCosine(s, d)),
+    // dedup family
+    "q_dedup_exact"      -> ((s, d) => Dedup.dedupExact(s, d)),
+    "q_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q_minhash_lsh"      -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "q_simhash_pairs"    -> ((s, d) => Dedup.simhashPairs(s, d)),
+    // similarity search
+    "q_cosine_topk"      -> ((s, d) => Ann.cosineTopk(s, d)),
+    "q_ann_lsh"          -> ((s, d) => Ann.annLshTopk(s, d)),
+    "q_embedding_neardup" -> ((s, d) => Ann.embeddingNearDup(s, d)),
+    // multimodal plumbing
+    "q_media_meta"       -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "q_media_decode_stub" -> ((s, d) => Multimodal.mediaDecodeStub(s, d)),
+    // crawl operators (SURVEY §2.8)
+    "q_url_canonicalize" -> ((s, d) => CrawlQueries.urlCanonicalize(s, d)),
+    "q_frontier_select"  -> ((s, d) => CrawlQueries.frontierSelect(s, d)),
+    "q_bloom_antijoin"   -> ((s, d) => CrawlQueries.bloomAntijoin(s, d)),
+    "q_crawl_synthetic"  -> ((s, d) => CrawlQueries.crawlSynthetic(s, d))
+  )
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted for hash-keyed / engine-native ops
+    * (q_minhash_lsh, q_simhash_pairs, q_ann_lsh, q_media_decode_stub,
+    * q_crawl_synthetic) → driver records a rows-only check; their exactness
+    * oracles live in the ScalaTest suites.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_flagship_agg"     -> StarQueries.flagshipAggSql,
+    "q_search_filter"    -> StarQueries.searchFilterSql,
+    "q_point_lookup"     -> StarQueries.pointLookupSql,
+    "q_topk_revenue"     -> StarQueries.topkRevenueSql,
+    "q_window_rank"      -> StarQueries.windowRankSql,
+    "q_semi_anti"        -> StarQueries.semiAntiSql,
+    "q_upsert_merge"     -> StarQueries.upsertMergeSql,
+    "q_interest_overlap" -> StarQueries.interestOverlapTopkSql,
+    "q_agg_lineitem"     -> StarQueries.aggLineitemSql,
+    "q_events_window"    -> StarQueries.eventsWindowSql,
+    "q_year_extract"     -> TextOps.yearExtractSql,
+    "q_token_stats"      -> TextOps.tokenStatsSql,
+    "q_langid"           -> TextOps.langIdSql,
+    "q_quality_score"    -> TextOps.qualityScoreSql,
+    "q_fingerprint"      -> TextOps.fingerprintSql,
+    "q_tfidf_cosine"     -> TextOps.tfidfCosineSql,
+    "q_dedup_exact"      -> Dedup.dedupExactSql,
+    "q_ngram_jaccard"    -> Dedup.ngramJaccardSql,
+    "q_cosine_topk"      -> Ann.cosineTopkSql,
+    "q_embedding_neardup" -> Ann.embeddingNearDupSql,
+    "q_media_meta"       -> Multimodal.mediaMetaSql,
+    "q_url_canonicalize" -> CrawlQueries.urlCanonicalizeSql,
+    "q_frontier_select"  -> CrawlQueries.frontierSelectSql,
+    "q_bloom_antijoin"   -> CrawlQueries.bloomAntijoinSql
+  )
 }

@@ -1,0 +1,99 @@
+package graft.crawl
+
+import graft.frontier.{PartitionedBloom, UrlSeen, WaveSelector}
+import graft.synth.SyntheticSite
+import graft.synth.SyntheticSite.SiteConfig
+import graft.urls.Urls
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crawl-operator queries expressed over the driver's testdata so the DuckDB
+  * oracle can check them relationally (SURVEY §2.8): the canonicalizer, the
+  * wave selector, and the Bloom+anti-join seen filter each get a query whose
+  * expected output is plain SQL; the full crawl runs as a rows-only query on
+  * the synthetic site (its exactness oracle is the ScalaTest suite).
+  */
+object CrawlQueries {
+
+  private def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+
+  /** URL canonicalization (F1): decorated URLs (mixed-case host, default
+    * port, dot-segments, fragment) built from order keys must normalize to
+    * the clean form the oracle constructs directly.
+    */
+  def urlCanonicalize(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .withColumn("raw",
+        concat(lit("HTTPS://ShOp.Example.com:443/a/"), col("o_orderkey"),
+          lit("/../item/"), col("o_orderkey"), lit("#ref")))
+      .select(col("o_orderkey"),
+        Urls.canonicalizeUdf(col("raw"), lit("https://shop.example.com/"))
+          .as("canonical_url"))
+
+  val urlCanonicalizeSql: String =
+    """SELECT o_orderkey,
+      |  'https://shop.example.com/a/item/' || o_orderkey AS canonical_url
+      |FROM orders""".stripMargin
+
+  /** Wave batch selection (W4/G5/G6): per-host ranked top-`budget` with the
+    * engine's salted two-stage selector; the oracle is the equivalent ranked
+    * window. Hosts/priorities synthesized from orders.
+    */
+  def frontierSelect(spark: SparkSession, dir: String): DataFrame = {
+    val frontier = orders(spark, dir).select(
+      concat(lit("h"), pmod(col("o_custkey"), lit(50))).as("host"),
+      concat(lit("https://h"), pmod(col("o_custkey"), lit(50)),
+        lit(".com/o/"), col("o_orderkey")).as("url"),
+      col("o_totalprice").as("priority"),
+      lit(0).as("discoveredWave"),
+      col("o_orderkey").as("discoveredRank"),
+      col("o_orderkey").as("urlHash"),
+      lit(3L).as("budget"))
+    WaveSelector.select(frontier, saltShards = 4)
+      .select(col("host"), col("host_rank"), col("url"))
+  }
+
+  val frontierSelectSql: String =
+    """SELECT host, CAST(rk - 1 AS BIGINT) AS host_rank, url FROM (
+      |  SELECT 'h' || (o_custkey % 50) AS host,
+      |    'https://h' || (o_custkey % 50) || '.com/o/' || o_orderkey AS url,
+      |    row_number() OVER (PARTITION BY o_custkey % 50
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC, o_orderkey ASC) AS rk
+      |  FROM orders) x
+      |WHERE rk <= 3""".stripMargin
+
+  /** URL-seen filter (G4): seen = even order keys, candidates = all keys; the
+    * partitioned Bloom fast path + exact anti-join must return exactly the
+    * odd keys (Bloom false positives rescued by the join — exactness is the
+    * contract, so the oracle is plain SQL).
+    */
+  def bloomAntijoin(spark: SparkSession, dir: String): DataFrame = {
+    val all = orders(spark, dir).select(col("o_orderkey").as("url_hash"))
+    val seen = all.filter(pmod(col("url_hash"), lit(2)) === 0)
+    val bloom = PartitionedBloom.build(seen, nShards = 8,
+      expectedTotal = 1L << 16, fpp = 0.03)
+    UrlSeen.filterUnseen(all, seen, bloom).select(col("url_hash"))
+  }
+
+  val bloomAntijoinSql: String =
+    "SELECT o_orderkey AS url_hash FROM orders WHERE o_orderkey % 2 = 1"
+
+  /** Full crawl on the synthetic site (rows-only: its exactness oracle is the
+    * sequential re-statement in the test suite, not SQL). Scale-independent
+    * of sfDir by design — the crawl input is the synthetic frontier.
+    */
+  def crawlSynthetic(spark: SparkSession, dir: String): DataFrame = {
+    val site    = SiteConfig(universities = 2, deptsPerU = 2, facultyPerDept = 8,
+      errorFraction = 0.15)
+    val seeds   = SyntheticSite.seeds(site)
+    val fetcher = SyntheticSite.fetch(site) _
+    val result  = WaveRunner.run(spark, seeds, fetcher, Nil,
+      WaveRunner.CrawlConfig(waveSeconds = 4.0))
+    Records.facultyRecords(spark, result.docs, seeds)
+      .orderBy(col("seed_rank"), col("row_rank"))
+      .select(col("name"), col("title"), col("university"), col("department"),
+        col("email"), col("profile_url"))
+  }
+}

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over `documents`:
+  * exact (hash group-by), n-gram Jaccard (exact pairwise on candidate pairs),
+  * MinHash+LSH (shingle → minhash → band → bucket join), and SimHash.
+  *
+  * Scale shape: exact dedup is one shuffle on the content hash. MinHash/LSH
+  * is the 10^10-doc path — signatures are row-local HOF pipelines (no UDF),
+  * candidate generation shuffles on (band, band_hash) buckets only, and the
+  * exact Jaccard verify runs on the (tiny) candidate set, never all pairs.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ---- exact dedup ----
+
+  /** Exact dedup by content hash: canonical representative = min doc_id. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_copies"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc,
+      |  count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
+  // ---- n-gram Jaccard (exact, on deterministic candidate pairs) ----
+
+  /** Exact token-set Jaccard on adjacent-id pairs (a deterministic, linear
+    * candidate set standing in for any candidate generator — the verify step
+    * MinHash/LSH feeds is this same computation).
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val a = d.select(col("doc_id").as("a_id"), TextOps.tokens(col("text")).as("a_toks"))
+    val b = d.select(col("doc_id").as("b_id"), TextOps.tokens(col("text")).as("b_toks"))
+    a.join(b, a("a_id") + 1 === b("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(
+          size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+            greatest(size(array_union(col("a_toks"), col("b_toks"))), lit(1))
+              .cast("double"), 4).as("jaccard"))
+  }
+
+  val ngramJaccardSql: String =
+    """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  round(len(list_intersect(list_distinct(regexp_extract_all(lower(a.text), '[a-z]+')),
+      |                           list_distinct(regexp_extract_all(lower(b.text), '[a-z]+'))))
+      |    / greatest(
+      |        len(list_distinct(regexp_extract_all(lower(a.text), '[a-z]+')))
+      |        + len(list_distinct(regexp_extract_all(lower(b.text), '[a-z]+')))
+      |        - len(list_intersect(list_distinct(regexp_extract_all(lower(a.text), '[a-z]+')),
+      |                             list_distinct(regexp_extract_all(lower(b.text), '[a-z]+')))),
+      |        1), 4) AS jaccard
+      |FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id""".stripMargin
+
+  // ---- MinHash + LSH ----
+
+  val MinhashK = 32  // signature length
+  val LshBands = 8   // 8 bands × 4 rows
+  val BandRows: Int = MinhashK / LshBands
+
+  /** Per-doc MinHash signature: sig[i] = min over distinct tokens of
+    * xxhash64(token, i). Row-local (one aggregate HOF per hash function).
+    */
+  def minhashSignature(text: Column): Column = {
+    val toks = array_distinct(TextOps.tokens(text))
+    array((0 until MinhashK).map { i =>
+      aggregate(toks, lit(Long.MaxValue), (acc, t) => least(acc, xxhash64(t, lit(i))))
+    }: _*)
+  }
+
+  /** MinHash/LSH near-duplicate candidate pairs, verified with exact token
+    * Jaccard ≥ `threshold`. Bucket join on (band, band-hash); candidate pairs
+    * are deduplicated across bands before the verify join.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("text"), minhashSignature(col("text")).as("sig"))
+    val banded = d.select(col("doc_id"), posexplode(
+      array((0 until LshBands).map { b =>
+        xxhash64((0 until BandRows).map(r => col("sig")(b * BandRows + r)) :+ lit(b): _*)
+      }: _*)).as(Seq("band", "band_hash")))
+    val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
+    val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("b_id"))
+    val candidates = l.join(r, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("toks"))
+    candidates
+      .join(toks.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), "a_id")
+      .join(toks.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), "b_id")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+          greatest(size(array_union(col("a_toks"), col("b_toks"))), lit(1))
+            .cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash over distinct tokens: one aggregate HOF accumulating 64
+    * signed counters (zip_with), then bits → long. Row-local, codegen'd.
+    */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(TextOps.tokens(text))
+    val bitRange = sequence(lit(0), lit(63))
+    val counters = aggregate(
+      toks,
+      transform(bitRange, _ => lit(0L)),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, bitRange, (a, i) =>
+          a + when(call_function("shiftright", h, i.cast("int"))
+            .bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(counters, bitRange, (c, i) =>
+        when(c > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of 4 16-bit bands (any pair
+    * within Hamming distance 3 must agree on ≥1 band by pigeonhole), verified
+    * by bit_count(xor) ≤ maxHamming.
+    */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), simhash(col("text")).as("sh"))
+    val banded = d.select(col("doc_id"), col("sh"), posexplode(
+      array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*))
+      .as(Seq("band", "band_val")))
+    val l = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val r = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    l.join(r, Seq("band", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,253 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, applied
+  * to the driver's `documents` table. All row-local ops are Catalyst
+  * expressions/HOFs (codegen'd, no UDFs); the TF-IDF decomposition is the
+  * relational form SURVEY.md §2.4 A6 prescribes for `matcher.py:117-153`.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Shared token definition (parity-critical with the DuckDB oracles):
+    * lowercase alphabetic runs. Mirrors the reference's fallback tokenizer
+    * (`matcher.py:295-304`: `\b[a-zA-Z]{3,}\b` minus stopwords — here the
+    * length floor is 1 and stopwords are a fixed literal list).
+    */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "in", "to", "is")
+  private def stopwordsLit: Column = array(Stopwords.map(lit): _*)
+  private val stopwordsSqlList: String = Stopwords.mkString("['", "', '", "']")
+
+  /** Distinct non-stopword tokens (array_except dedups — mirrored in SQL). */
+  def contentTokens(text: Column): Column =
+    array_except(tokens(text), stopwordsLit)
+
+  /** Non-stopword tokens with duplicates kept (for tf counting). */
+  def nonStopTokens(text: Column): Column =
+    filter(tokens(text), t => !t.isin(Stopwords.map(_.asInstanceOf[Any]): _*))
+
+  // ---- year extraction (reference `main.py:263-265`, F5) ----
+
+  /** Regex year extraction over deterministically synthesized publication
+    * strings (the driver's documents carry no years; the string is built the
+    * same way on both sides so the regex machinery itself is what's tested).
+    */
+  def yearExtract(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("pub",
+        concat(col("source"), lit(" published in "),
+          (lit(1990) + pmod(col("doc_id"), lit(30))).cast("string"), lit(" proc.")))
+      .withColumn("year",
+        nullif(regexp_extract(col("pub"), """\b(19|20)\d{2}\b""", 0), lit(""))
+          .cast("int"))
+      .groupBy(col("year")).agg(count(lit(1)).as("n"))
+
+  val yearExtractSql: String =
+    """SELECT CAST(regexp_extract(source || ' published in ' ||
+      |         CAST(1990 + doc_id % 30 AS VARCHAR) || ' proc.',
+      |         '\b(19|20)\d{2}\b', 0) AS INT) AS year,
+      |       count(*) AS n
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
+  // ---- token counting (training-data pipeline op) ----
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val tks = tokens(col("text"))
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(tks).as("n_tokens"),
+      size(array_distinct(tks)).as("n_distinct"),
+      size(array_except(tks, stopwordsLit)).as("n_content"),
+      length(col("text")).as("n_chars_calc"))
+  }
+
+  val tokenStatsSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_tokens,
+       |  len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS n_distinct,
+       |  len(list_filter(list_distinct(regexp_extract_all(lower(text), '[a-z]+')),
+       |      t -> NOT list_contains($stopwordsSqlList, t))) AS n_content,
+       |  length(text) AS n_chars_calc
+       |FROM documents""".stripMargin
+
+  // ---- language identification (n-gram/marker heuristic) ----
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "les", "et", "des"))
+
+  /** Marker-stopword language-ID heuristic: predicted = argmax of marker hits
+    * with a fixed tie order. Compared per (actual, predicted) cell against
+    * the table's `lang` column.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val tks = tokens(col("text"))
+    val withHits = langMarkers.foldLeft(docs(spark, dir)) { case (df, (l, ms)) =>
+      df.withColumn(s"c_$l",
+        size(filter(tks, t => t.isin(ms.map(_.asInstanceOf[Any]): _*))))
+    }
+    val pred = langMarkers.map(_._1).foldRight(lit("und"): Column) { (l, els) =>
+      val c = col(s"c_$l")
+      val geAll = langMarkers.map(_._1).filter(_ != l)
+        .map(o => c >= col(s"c_$o")).reduce(_ && _)
+      when(c > 0 && geAll, lit(l)).otherwise(els)
+    }
+    withHits.withColumn("predicted", pred)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val langIdSql: String = {
+    val hits = langMarkers.map { case (l, ms) =>
+      s"len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), " +
+        s"t -> list_contains(${ms.mkString("['", "', '", "']")}, t))) AS c_$l"
+    }.mkString(",\n    ")
+    val langs = langMarkers.map(_._1)
+    val cases = langs.map { l =>
+      val ge = langs.filter(_ != l).map(o => s"c_$l >= c_$o").mkString(" AND ")
+      s"WHEN c_$l > 0 AND $ge THEN '$l'"
+    }.mkString("\n      ")
+    s"""SELECT lang, predicted, count(*) AS n FROM (
+       |  SELECT lang,
+       |    CASE $cases
+       |      ELSE 'und' END AS predicted
+       |  FROM (SELECT lang, $hits FROM documents) h) p
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---- quality scoring (length/stopword/word-shape heuristics) ----
+
+  /** Quality in exact integer basis points (0..10000):
+    *   50·min(n_words,100)  (length)           — weight .5
+    * + ⌊2500·stop_hits / n_words⌋ (stopword ratio) — weight .25
+    * + min(⌊250·sum_len / n_words⌋, 2500) (avg word length /10, capped) — .25
+    * Integer arithmetic end-to-end: no float rounding-boundary divergence
+    * between engines (a double formulation flaked at exactly .xxxx5).
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val tks    = tokens(col("text"))
+    val nWords = size(tks).cast("long")
+    val stopHits = size(filter(tks,
+      t => t.isin(Stopwords.map(_.asInstanceOf[Any]): _*))).cast("long")
+    val sumLen = aggregate(tks, lit(0), (acc, t) => acc + length(t)).cast("long")
+    docs(spark, dir)
+      .withColumn("__nw", nWords)
+      .withColumn("__sh", stopHits)
+      .withColumn("__sl", sumLen)
+      .select(
+        col("doc_id"),
+        (lit(50L) * least(col("__nw"), lit(100L)) +
+          expr("(2500 * __sh) DIV greatest(__nw, 1)") +
+          least(expr("(250 * __sl) DIV greatest(__nw, 1)"), lit(2500L)))
+          .cast("long").as("quality_bp"))
+  }
+
+  val qualityScoreSql: String =
+    s"""SELECT doc_id,
+       |  CAST(50 * least(n_words, 100)
+       |    + (2500 * stop_hits) // greatest(n_words, 1)
+       |    + least((250 * sum_len) // greatest(n_words, 1), 2500)
+       |    AS BIGINT) AS quality_bp
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(toks, t -> list_contains($stopwordsSqlList, t)))
+       |      AS BIGINT) AS stop_hits,
+       |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+       |        FROM documents) tt) s""".stripMargin
+
+  // ---- document fingerprinting ----
+
+  /** Normalized-text fingerprint (whitespace-collapsed, lowercased, md5/16)
+    * + duplicate-group counting: the cheap exact-dedup key of a training
+    * pipeline.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("fp",
+        substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 16))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+
+  val fingerprintSql: String =
+    """SELECT substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp,
+      |  count(*) AS n, min(doc_id) AS first_doc
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
+  // ---- TF-IDF cosine (reference `matcher.py:117-153`, SURVEY A6) ----
+
+  /** Relational TF-IDF + cosine against a query document (min doc_id):
+    * tokenize → tf per (doc, term) → df per term → smoothed idf
+    * (ln((N+1)/(df+1))+1, the sklearn form the reference uses) → L2-normalized
+    * weights → dot product with the query document's vector. Top 20.
+    *
+    * Shuffle profile at scale: one shuffle for tf (groupBy doc,term), one for
+    * df (groupBy term), the query-side vectors broadcast (single doc), final
+    * top-k via TakeOrderedAndProject.
+    */
+  def tfidfCosine(spark: SparkSession, dir: String): DataFrame = {
+    val d  = docs(spark, dir)
+    val tf = d.select(col("doc_id"), explode(nonStopTokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val n  = d.agg(count(lit(1)).as("n"))
+    val df = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("w",
+        col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0))
+      .select(col("doc_id"), col("term"), col("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val qId = d.agg(min(col("doc_id")).as("q_id"))
+    val qw = w.join(broadcast(qId), w("doc_id") === qId("q_id"))
+      .select(col("term"), col("w").as("qw"))
+    val qNorm = norms.join(broadcast(qId), norms("doc_id") === qId("q_id"))
+      .select(col("norm").as("q_norm"))
+    w.join(broadcast(qw), "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("qw")).as("dot"))
+      .join(norms, "doc_id")
+      .crossJoin(broadcast(qNorm))
+      .select(col("doc_id"),
+        round(col("dot") / (col("norm") * col("q_norm")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val tfidfCosineSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+       |    t -> NOT list_contains($stopwordsSqlList, t))) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+       |w AS (SELECT tf.doc_id, tf.term,
+       |        tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS w
+       |      FROM tf JOIN df USING (term) CROSS JOIN n),
+       |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1),
+       |q AS (SELECT term, w AS qw FROM w WHERE doc_id = (SELECT min(doc_id) FROM documents)),
+       |qn AS (SELECT norm AS q_norm FROM norms
+       |       WHERE doc_id = (SELECT min(doc_id) FROM documents))
+       |SELECT w.doc_id AS doc_id,
+       |  round(sum(w.w * q.qw) / (any_value(norms.norm) * any_value(qn.q_norm)), 4) AS cosine
+       |FROM w JOIN q USING (term)
+       |JOIN norms ON w.doc_id = norms.doc_id
+       |CROSS JOIN qn
+       |GROUP BY w.doc_id
+       |ORDER BY cosine DESC, w.doc_id ASC
+       |LIMIT 20""".stripMargin
+}

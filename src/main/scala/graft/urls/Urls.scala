@@ -26,8 +26,9 @@ object Urls {
   def canonicalize(raw: String, baseUrl: String): String = {
     val r = if (raw == null) "" else raw.trim
     if (r.isEmpty) return ""
+    val rl = r.toLowerCase // scheme match is case-insensitive (RFC 3986 §3.1)
     val abs =
-      if (r.startsWith("http://") || r.startsWith("https://")) r
+      if (rl.startsWith("http://") || rl.startsWith("https://")) r
       else if (r.startsWith("//")) schemeOf(baseUrl) + ":" + r
       else if (r.startsWith("/")) originOf(baseUrl) + r
       else originOf(baseUrl) + "/" + r // reference prepends the origin (scraper.py:110)
