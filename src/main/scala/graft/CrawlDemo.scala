@@ -23,9 +23,11 @@ object CrawlDemo {
       universities = arg(0, "2").toInt,
       deptsPerU = arg(1, "2").toInt,
       facultyPerDept = arg(2, "10").toInt,
-      errorFraction = arg(3, "0.1").toDouble)
+      errorFraction = arg(3, "0.1").toDouble,
+      pubsPerFaculty = arg(5, "7").toInt,
+      bioWords = sys.env.getOrElse("GRAFT_BIO_WORDS", "0").toInt)
     val waveSeconds = arg(4, "8").toDouble
-    val snapshotDir = if (pos.length > 5) Some(pos(5)) else None
+    val snapshotDir = if (pos.length > 6) Some(pos(6)) else None
     val checkOracle = args.contains("--check-oracle")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -40,7 +42,7 @@ object CrawlDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     val seeds   = SyntheticSite.seeds(site)
-    val fetcher = SyntheticSite.fetch(site) _
+    val fetcher = SyntheticSite.fetcher(site)
     val cfg     = CrawlConfig(waveSeconds = waveSeconds, snapshotDir = snapshotDir)
 
     val t0 = System.nanoTime()
@@ -48,7 +50,7 @@ object CrawlDemo {
       case Some(_) => WaveRunner.resume(spark, seeds, fetcher, Nil, cfg)
       case None    => WaveRunner.run(spark, seeds, fetcher, Nil, cfg)
     }
-    val fetches = result.crawlOrder.count()
+    val fetches = result.fetches
     val secs    = (System.nanoTime() - t0) / 1e9
     val seen    = result.seen.count()
     val records = Records.facultyRecords(spark, result.docs, seeds).count()

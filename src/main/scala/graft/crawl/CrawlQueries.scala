@@ -88,7 +88,7 @@ object CrawlQueries {
     val site    = SiteConfig(universities = 2, deptsPerU = 2, facultyPerDept = 8,
       errorFraction = 0.15)
     val seeds   = SyntheticSite.seeds(site)
-    val fetcher = SyntheticSite.fetch(site) _
+    val fetcher = SyntheticSite.fetcher(site)
     val result  = WaveRunner.run(spark, seeds, fetcher, Nil,
       WaveRunner.CrawlConfig(waveSeconds = 4.0))
     Records.facultyRecords(spark, result.docs, seeds)

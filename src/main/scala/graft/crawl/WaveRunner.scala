@@ -18,7 +18,8 @@ import java.nio.file.{Files, Paths}
 final case class Selected(url: String, urlHash: Long, host: String, depth: Int,
     discoveredWave: Int, discoveredRank: Long, host_rank: Long)
 final case class WaveFetch(url: String, urlHash: Long, host: String, depth: Int,
-    discoveredRank: Long, host_rank: Long, ok: Boolean, spans: Array[Span], fetchMs: Long)
+    discoveredRank: Long, host_rank: Long, ok: Boolean, spans: Array[Span], fetchMs: Long,
+    wave: Int)
 
 /** The crawl engine: a wave-synchronous driver loop of DataFrame jobs
   * (SURVEY.md §3 E1, §2.8). Each wave is one declarative pipeline:
@@ -67,7 +68,8 @@ object WaveRunner {
       docs: DataFrame,       // url, urlHash, host, depth, wave, spans
       crawlOrder: DataFrame, // seq, wave, host, host_rank, url
       metrics: DataFrame,    // wave, host, fetched, errors, fetchMsTotal, urlsEnqueued
-      waves: Int
+      waves: Int,
+      fetches: Long          // total attempted fetches (= crawlOrder row count)
   )
 
   /** Cold-start crawl from a seed list. */
@@ -162,14 +164,25 @@ object WaveRunner {
     val docsDeltas    = Seq.newBuilder[DataFrame]
     val orderDeltas   = Seq.newBuilder[DataFrame]
     val metricsDeltas = Seq.newBuilder[DataFrame]
+    val retained      = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     committedDirs.foreach { d =>
       docsDeltas += spark.read.parquet(s"$d/docs_delta")
       orderDeltas += spark.read.parquet(s"$d/order_delta")
       metricsDeltas += spark.read.parquet(s"$d/metrics_delta")
     }
 
+    val debug = sys.env.contains("GRAFT_CRAWL_DEBUG")
+    def phase[T](name: String, wave: Int)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r  = body
+      if (debug) System.err.println(
+        f"[crawl-debug] wave=$wave $name%-18s ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+      r
+    }
+
     var wave = startWave
     var done = false
+    var totalFetches = 0L
     while (!done && wave < cfg.maxWaves) {
       val pending = frontier.filter(
         col("status") === FrontierStatus.Pending && col("retries") <= cfg.maxRetries)
@@ -179,19 +192,34 @@ object WaveRunner {
       val batch = WaveSelector.select(ruled, cfg.saltShards)
         .select(col("url"), col("urlHash"), col("host"), col("depth"),
           col("discoveredWave"), col("discoveredRank"), col("host_rank"))
+        // Size fetch parallelism by request count, NOT by shuffle bytes: the
+        // selection output is tiny (frontier rows), so AQE would coalesce it
+        // to ~1 partition and run the expensive fetch+encode stage serially.
+        // Explicit repartition pins P fetch tasks (at cluster scale: one unit
+        // of politeness-bounded fetch work per core).
+        .repartition(P)
 
+      // wave id travels in the closure, not as a lit() column: an inlined
+      // literal changes the generated code every wave and forces a full
+      // Janino recompile of the largest plan in the loop
+      val waveNow = wave
       val fetched = batch.as[Selected].mapPartitions { it =>
         it.map { e =>
           val t0  = System.nanoTime()
           val doc = fetcher(e.url)
           WaveFetch(e.url, e.urlHash, e.host, e.depth, e.discoveredRank, e.host_rank,
             ok = doc.isDefined, spans = doc.map(_.spans).getOrElse(Array.empty[Span]),
-            fetchMs = (System.nanoTime() - t0) / 1000000L)
+            fetchMs = (System.nanoTime() - t0) / 1000000L, wave = waveNow)
         }
-      }.toDF().withColumn("wave", lit(wave))
+      }.toDF()
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      if (fetched.isEmpty) {
+      // one materializing action per wave decides termination AND warms the
+      // cache every downstream consumer reuses (keep driver barriers minimal:
+      // each extra .count/.isEmpty is a full job the wave loop serializes on)
+      val batchCount = phase("select+fetch", wave) { fetched.count() }
+      totalFetches += batchCount
+      if (batchCount == 0L) {
         fetched.unpersist()
         done = true
       } else {
@@ -219,6 +247,7 @@ object WaveRunner {
         // -- URL-seen: Bloom fast path + exact anti-join (G4)
         val unseen = UrlSeen.filterUnseen(candidates, seen, bloom)
           .persist(StorageLevel.MEMORY_AND_DISK)
+        val unseenCount = phase("discover+seen", wave) { unseen.count() }
 
         val newEntries = unseen.select(
           col("url"),
@@ -257,7 +286,7 @@ object WaveRunner {
           sum(when(col("ok"), 1L).otherwise(0L)).as("fetched"),
           sum(when(col("ok"), 0L).otherwise(1L)).as("errors"),
           sum(col("fetchMs")).as("fetchMsTotal"))
-          .crossJoin(broadcast(unseen.agg(count(lit(1)).as("urlsEnqueued"))))
+          .withColumn("urlsEnqueued", lit(unseenCount))
 
         // -- commit (G10): snapshot dir (resumable) or localCheckpoint
         cfg.snapshotDir match {
@@ -278,36 +307,49 @@ object WaveRunner {
             docsDeltas += spark.read.parquet(s"$wdir/docs_delta")
             orderDeltas += spark.read.parquet(s"$wdir/order_delta")
             metricsDeltas += spark.read.parquet(s"$wdir/metrics_delta")
+            unseen.unpersist(); fetched.unpersist()
           case None =>
-            val f2 = newFrontier.localCheckpoint(true)
-            val s2 = newSeen.localCheckpoint(true)
+            // memory mode: deltas stay as views over the persisted `fetched`/
+            // `unseen` (released at crawl end) — no extra checkpoint jobs;
+            // only the iterative frontier/seen need lineage truncation
+            val f2 = phase("frontier-ckpt", wave) { newFrontier.localCheckpoint(true) }
+            val s2 = phase("seen-ckpt", wave) { newSeen.localCheckpoint(true) }
             frontier.unpersist(); seen.unpersist()
             frontier = f2; seen = s2
-            docsDeltas += docsDelta.localCheckpoint(true)
-            orderDeltas += orderDelta.localCheckpoint(true)
-            metricsDeltas += metricsDelta.localCheckpoint(true)
+            docsDeltas += docsDelta
+            orderDeltas += orderDelta
+            metricsDeltas += metricsDelta
+            retained += fetched; retained += unseen
         }
         // bloom: distributed shard build of the delta, merged driver-side
-        if (!seenDelta.isEmpty) {
+        if (unseenCount > 0L) phase("bloom-delta", wave) {
           bloom.mergeInPlace(PartitionedBloom.build(
             seenDelta.select(col("url_hash")), cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp))
         }
-        unseen.unpersist(); fetched.unpersist()
         wave += 1
       }
     }
 
-    val docs = union(spark, docsDeltas.result(),
+    var docs = union(spark, docsDeltas.result(),
       "url string, urlHash long, host string, depth int, wave int, " +
         "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
-    val order = union(spark, orderDeltas.result(),
+    var orderRaw = union(spark, orderDeltas.result(),
       "wave int, host string, host_rank long, url string")
+    var metrics = union(spark, metricsDeltas.result(),
+      "wave int, host string, fetched long, errors long, fetchMsTotal long, urlsEnqueued long")
+    if (retained.nonEmpty) {
+      // memory mode: snapshot the final unions once, then release the
+      // per-wave caches the deltas were views over
+      docs = phase("final-docs", wave) { docs.localCheckpoint(true) }
+      orderRaw = phase("final-order", wave) { orderRaw.localCheckpoint(true) }
+      metrics = metrics.localCheckpoint(true)
+      retained.foreach(_.unpersist())
+    }
+    val order = orderRaw
       .withColumn("seq", row_number().over(
         Window.orderBy(col("wave"), col("host"), col("host_rank"))).cast("long") - 1L)
       .select(col("seq"), col("wave"), col("host"), col("host_rank"), col("url"))
-    val metrics = union(spark, metricsDeltas.result(),
-      "wave int, host string, fetched long, errors long, fetchMsTotal long, urlsEnqueued long")
-    CrawlResult(frontier, seen, docs, order, metrics, wave)
+    CrawlResult(frontier, seen, docs, order, metrics, wave, totalFetches)
   }
 
   private def shufflePartitions(spark: SparkSession): Int =

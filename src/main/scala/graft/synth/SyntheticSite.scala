@@ -39,6 +39,7 @@ object SyntheticSite {
       relativeLinkFraction: Double = 0.5, // hrefs emitted relative (scraper.py:109)
       noLinkFraction: Double = 0.0,    // index rows with no profile anchor
       pubsPerFaculty: Int = 7,
+      bioWords: Int = 0,   // extra prose per profile (models real page weight)
       seed: Long = 42L
   )
 
@@ -63,6 +64,10 @@ object SyntheticSite {
     "Consensus Protocols", "Sparse Retrieval", "Program Synthesis", "Graph Embeddings",
     "Cache Coherence", "Differential Privacy", "Stream Processing")
   private val pubVenues = Vector("SIGMOD", "NeurIPS", "OSDI", "ACL", "VLDB", "SOSP", "ICML", "KDD")
+  private val bioVocab = Vector("research", "students", "teaching", "systems", "models",
+    "theory", "applied", "laboratory", "graduate", "projects", "collaboration", "methods",
+    "analysis", "design", "published", "conference", "journal", "award", "fellowship",
+    "advising", "seminar", "computation", "scalable", "distributed", "learning")
 
   // ---- deterministic mixing ----
   private def mix(z0: Long): Long = {
@@ -170,6 +175,15 @@ object SyntheticSite {
 
   // ---- page synthesis ----
 
+  /** A serializable fetch function capturing only `cfg` (use this from test
+    * suites/benchmarks: eta-expanding `fetch(cfg) _` inside a class captures
+    * the enclosing instance, which may not be serializable).
+    */
+  def fetcher(cfg: SiteConfig): String => Option[SpanDoc] = {
+    val c = cfg
+    (url: String) => fetch(c)(url)
+  }
+
   /** Fetch a page by URL. None = fetch error (4xx/5xx analog) or foreign URL.
     * Pure: same (cfg, url) always yields the same document.
     */
@@ -218,6 +232,20 @@ object SyntheticSite {
     b.add("heading", "Links") // closes the publications block
     b.link("All faculty", "/people/faculty") // back-link: dup of the seed (dedup test)
     b.link("Collaborator", s"/people/f${(k + 1) % cfg.facultyPerDept}") // depth-2 link
+    if (cfg.bioWords > 0) {
+      // prose block AFTER the structured sections: raises realistic page
+      // weight (KBs of text) without touching extraction semantics (no '@',
+      // no digits, placed after the Links heading)
+      b.add("heading", "Biography")
+      val words = new StringBuilder(cfg.bioWords * 8)
+      var i = 0
+      while (i < cfg.bioWords) {
+        if (i > 0) words.append(' ')
+        words.append(pick(bioVocab, rng(cfg.seed, 11L, u, d, k, i)))
+        i += 1
+      }
+      b.add("text", words.toString)
+    }
     SpanDoc(profileUrl(u, d, k), b.result())
   }
 

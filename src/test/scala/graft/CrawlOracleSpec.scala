@@ -18,7 +18,7 @@ class CrawlOracleSpec extends SparkSpec {
 
   private def runBoth(site: SiteConfig, crawl: CrawlConfig = CrawlConfig()) = {
     val seeds   = SyntheticSite.seeds(site)
-    val fetcher = SyntheticSite.fetch(site) _
+    val fetcher = SyntheticSite.fetcher(site)
     val oracle  = SequentialOracle.run(seeds, fetcher)
     val engine  = WaveRunner.run(spark, seeds, fetcher, Nil, crawl)
     (seeds, oracle, engine)

@@ -1,0 +1,106 @@
+package graft
+
+import graft.frontier.{PartitionedBloom, Robots, UrlSeen, WaveSelector}
+import graft.model.RobotsRule
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import GenHelper.samples
+
+/** Frontier-machinery invariants (SURVEY §5.2 #4): Bloom never drops a truly
+  * unseen URL, salted selection preserves exact per-host top-k, robots deny
+  * prefixes and budgets apply.
+  */
+class FrontierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("property: Bloom pre-filter + exact anti-join never drops an unseen key") {
+    val gen = for {
+      seenKeys <- Gen.listOf(Gen.chooseNum(-5000L, 5000L)).map(_.distinct)
+      candKeys <- Gen.nonEmptyListOf(Gen.chooseNum(-5000L, 5000L)).map(_.distinct)
+    } yield (seenKeys, candKeys)
+    samples(gen, 12).foreach { case (seenKeys, candKeys) =>
+      val seen = seenKeys.toDF("url_hash")
+      val cand = candKeys.toDF("url_hash")
+      // tiny expectedTotal forces a high Bloom FP rate → exercises the rescue path
+      val bloom = PartitionedBloom.build(seen, nShards = 4, expectedTotal = 64, fpp = 0.5)
+      seenKeys.foreach(k => assert(bloom.mightContain(k), "bloom must have no false negatives"))
+      val got = UrlSeen.filterUnseen(cand, seen, bloom)
+        .collect().map(_.getLong(0)).toSet
+      assert(got === (candKeys.toSet -- seenKeys.toSet))
+    }
+  }
+
+  test("salted selection == unsalted selection == exact per-host top-k") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 300)
+      rows <- Gen.listOfN(n, for {
+        host <- Gen.chooseNum(0, 5).map(h => s"h$h")
+        pri  <- Gen.chooseNum(0, 20).map(_.toDouble) // coarse → many ties
+        id   <- Gen.chooseNum(0L, 100000L)
+      } yield (host, pri, id))
+    } yield rows.distinctBy(_._3)
+    samples(gen, 8).foreach { rows =>
+      val df = rows.toDF("host", "priority", "urlHash")
+        .withColumn("discoveredWave", lit(0))
+        .withColumn("discoveredRank", col("urlHash"))
+        .withColumn("url", concat(lit("u"), col("urlHash")))
+        .withColumn("budget", lit(4L))
+      def sel(s: Int) = WaveSelector.select(df, s)
+        .select("host", "host_rank", "urlHash")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = rows.groupBy(_._1).flatMap { case (h, rs) =>
+        rs.sortBy(r => (-r._2, r._3, r._3)).take(4).zipWithIndex
+          .map { case (r, i) => (h, i.toLong, r._3) }
+      }.toSet
+      assert(sel(1) === expected)
+      assert(sel(4) === expected, "salted two-stage selection must be exact")
+      assert(sel(16) === expected)
+    }
+  }
+
+  test("per-host per-wave budget is never exceeded (politeness invariant)") {
+    val rows = (1 to 500).map(i => (s"h${i % 3}", i.toDouble, i.toLong))
+    val df = rows.toDF("host", "priority", "urlHash")
+      .withColumn("discoveredWave", lit(0))
+      .withColumn("discoveredRank", col("urlHash"))
+      .withColumn("url", concat(lit("u"), col("urlHash")))
+      .withColumn("budget", lit(7L))
+    val counts = WaveSelector.select(df, 4).groupBy("host").count()
+      .collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 7L))
+    assert(counts.length === 3)
+  }
+
+  test("robots: deny prefixes drop URLs; crawl_delay drives the wave budget") {
+    val rules = Robots.rulesDF(spark, Seq(
+      RobotsRule("h1.com", Seq("/private", "/tmp"), 0.5),
+      RobotsRule("h2.com", Nil, 2.0)))
+    val frontier = Seq(
+      ("h1.com", "https://h1.com/private/x"),
+      ("h1.com", "https://h1.com/public/x"),
+      ("h2.com", "https://h2.com/anything"),
+      ("h3.com", "https://h3.com/no-rule")).toDF("host", "url")
+    val got = Robots.withRules(frontier, rules)
+      .withColumn("budget", Robots.waveBudget(4.0))
+      .select("url", "allowed", "crawl_delay_s", "budget")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      ("https://h1.com/private/x", false, 0.5, 8L),
+      ("https://h1.com/public/x", true, 0.5, 8L),
+      ("https://h2.com/anything", true, 2.0, 2L),
+      ("https://h3.com/no-rule", true, 1.0, 4L))) // default: allow, 1s (scraper.py:83)
+  }
+
+  test("partitioned bloom: shard merge and scaling math hold") {
+    val pb = PartitionedBloom.empty(nShards = 16, expectedTotal = 1 << 14, fpp = 0.01)
+    val delta = PartitionedBloom.empty(nShards = 16, expectedTotal = 1 << 14, fpp = 0.01)
+    (0L until 1000L).foreach(delta.put)
+    pb.mergeInPlace(delta)
+    (0L until 1000L).foreach(k => assert(pb.mightContain(k)))
+    // documented 10^10 sizing: ~9.6 bits/key at 1% fpp → ~1.2 GB per 10^9 keys,
+    // sharded so a single shard stays executor-resident
+    val bitsPerKey = -math.log(0.01) / (math.log(2) * math.log(2))
+    assert(bitsPerKey > 9 && bitsPerKey < 10.1)
+  }
+}

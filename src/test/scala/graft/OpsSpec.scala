@@ -1,0 +1,109 @@
+package graft
+
+import graft.ops.{Ann, Dedup, Multimodal, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators: dedup family (exact, MinHash/LSH,
+  * SimHash), ANN, text stats, multimodal plumbing — self-oracled on
+  * constructed fixtures plus the sf0.001 tables.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH finds planted near-duplicates and skips distinct docs") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank " +
+      "while seven wizards mix potent elixirs under a pale moon tonight"
+    val nearDup = base.replace("tonight", "today") // 1-token diff
+    val distinct = "completely different content about spark catalyst optimizer " +
+      "rules partitions shuffles and whole stage code generation pipelines"
+    val docs = Seq((0L, base), (1L, nearDup), (2L, distinct), (3L, base))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("lsh").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.minhashLshPairs(spark, tmp, threshold = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "near-dup pair must be found")
+    assert(pairs.contains((0L, 3L)), "exact dup pair must be found")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "distinct doc must not pair")
+  }
+
+  test("minhash signature: identical texts → identical signatures; stable length") {
+    val df = Seq(("a b c d e", "a b c d e"), ("a b c d e", "f g h i j"))
+      .toDF("t1", "t2")
+      .select(Dedup.minhashSignature(col("t1")).as("s1"),
+        Dedup.minhashSignature(col("t2")).as("s2"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[Long](0) === rows(0).getSeq[Long](1))
+    assert(rows(1).getSeq[Long](0) !== rows(1).getSeq[Long](1))
+    assert(rows(0).getSeq[Long](0).length === Dedup.MinhashK)
+  }
+
+  test("simhash: near-identical texts within small hamming; distinct texts far") {
+    val df = Seq(
+      ("the quick brown fox jumps over the lazy dog and runs far away tonight",
+        "the quick brown fox jumps over the lazy dog and runs far away today"),
+      ("the quick brown fox jumps over the lazy dog and runs far away tonight",
+        "catalyst optimizer shuffles partitions codegen stages broadcast joins"))
+      .toDF("t1", "t2")
+      .select(Dedup.simhash(col("t1")).as("h1"), Dedup.simhash(col("t2")).as("h2"))
+    val rows = df.collect()
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(rows(0).getLong(0), rows(0).getLong(1)) <= 8)
+    assert(hamming(rows(1).getLong(0), rows(1).getLong(1)) > 8)
+  }
+
+  test("brute-force cosine top-k: query vector ranks itself first with cos 1.0") {
+    val got = Ann.cosineTopk(spark, sf, k = 5).collect()
+    assert(got.length === 5)
+    assert(got.head.getAs[Double]("cos") === 1.0) // self-similarity
+    val cosines = got.map(_.getAs[Double]("cos"))
+    assert(cosines.sameElements(cosines.sorted.reverse), "descending order")
+  }
+
+  test("LSH ANN: query's bucket contains the query; results ⊆ brute-force corpus") {
+    val got = Ann.annLshTopk(spark, sf, planes = 6, k = 5).collect()
+    assert(got.nonEmpty)
+    assert(got.head.getAs[Double]("cos") === 1.0)
+    assert(got.map(_.getAs[Long]("bucket")).distinct.length === 1,
+      "all results from the query's bucket")
+  }
+
+  test("language-ID heuristic: obvious marker texts classify correctly") {
+    val df = Seq(
+      (0L, "the model of the data and the code"),
+      (1L, "der mann und die frau und das kind"),
+      (2L, "el problema y la solucion y los datos"),
+      (3L, "le monde et les gens et des idees"))
+      .toDF("doc_id", "text").withColumn("lang", lit("x"))
+    val tmp = java.nio.file.Files.createTempDirectory("lang").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.langId(spark, tmp).collect()
+      .map(r => r.getAs[String]("predicted")).toSet
+    assert(got === Set("en", "de", "es", "fr"))
+  }
+
+  test("multimodal: stub decode is deterministic and byte counts are real") {
+    val meta = Multimodal.decodeStage(spark, Multimodal.withMedia(spark, sf))
+    val twice = Multimodal.decodeStage(spark, Multimodal.withMedia(spark, sf))
+    val a = meta.collect().sortBy(_.doc_id)
+    val b = twice.collect().sortBy(_.doc_id)
+    assert(a.toSeq === b.toSeq, "stub decode must be deterministic")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), octet_length(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    a.foreach(m => assert(m.n_bytes === docs(m.doc_id)))
+    assert(a.forall(m => Set("jpeg", "png", "wav", "mp4")(m.format)))
+  }
+
+  test("fingerprint: whitespace-normalized dup detection") {
+    val df = Seq((0L, "Hello   World"), (1L, "hello world"), (2L, "other text"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("fp").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val groups = TextOps.fingerprint(spark, tmp).collect()
+    assert(groups.length === 2)
+    assert(groups.find(_.getAs[Long]("n") === 2L).get.getAs[Long]("first_doc") === 0L)
+  }
+}
