@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.9).
+  *
+  * The engine's crawl runs as wave-synchronous batches (deterministic
+  * ordering is the correctness obligation — §2.9's argument), but the
+  * reference's rate-limiter semantics have natural streaming analogs, built
+  * here so a continuous-crawl mode has its primitives ready:
+  *
+  *  - fixed-window counts per key (reference `limiter.py:122-144`,
+  *    `rate_limiter.py:42-47`: N requests per window) → windowed groupBy
+  *    with a watermark;
+  *  - per-host token bucket (reference `scraper.py:83` pacing generalized)
+  *    → `mapGroupsWithState` keyed by host.
+  */
+object EventStreams {
+
+  /** Fixed-window request accounting: requests per (1-minute window, key),
+    * late data bounded by a 2-minute watermark. Works identically over a
+    * bounded stream (tests drive it with a file source + processAllAvailable).
+    */
+  def fixedWindowCounts(events: DataFrame): DataFrame =
+    events
+      // parquet µs timestamps infer as TIMESTAMP_NTZ in Spark 4; watermarks
+      // require event-time TIMESTAMP (LTZ) — session TZ is pinned UTC
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .select(col("w.start").as("minute"), col("event_type"), col("n"), col("value_sum"))
+
+  final case class Request(host: String, ts: java.sql.Timestamp)
+  final case class BucketState(tokens: Double, lastRefillMs: Long)
+  final case class Decision(host: String, tsMs: Long, allowed: Boolean, tokensAfter: Double)
+
+  /** Per-host token bucket (refill `ratePerSec`, capacity `burst`): the
+    * continuous form of the per-wave budget in [[graft.frontier.Robots]].
+    * Deterministic given event order within a host group.
+    */
+  def tokenBucket(requests: Dataset[Request], ratePerSec: Double, burst: Double)(
+      implicit enc: org.apache.spark.sql.Encoder[Decision],
+      encSeq: org.apache.spark.sql.Encoder[(String, Seq[Decision])]
+  ): Dataset[Decision] = {
+    import requests.sparkSession.implicits._
+    requests
+      .groupByKey(_.host)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (host: String, rs: Iterator[Request], state: GroupState[BucketState]) => {
+          var st = state.getOption.getOrElse(BucketState(burst, Long.MinValue))
+          val out = rs.toSeq.sortBy(_.ts.getTime).map { r =>
+            val now = r.ts.getTime
+            val refill =
+              if (st.lastRefillMs == Long.MinValue) 0.0
+              else (now - st.lastRefillMs) / 1000.0 * ratePerSec
+            val tokens  = math.min(burst, st.tokens + math.max(0.0, refill))
+            val allowed = tokens >= 1.0
+            st = BucketState(if (allowed) tokens - 1.0 else tokens, now)
+            Decision(host, now, allowed, st.tokens)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan quality gates (SURVEY §4): these queries must keep the plans
+  * that survive a 100× scale-up — filters and projections reaching the
+  * parquet scan, small dimensions broadcast, partial (map-side) aggregation,
+  * top-k as TakeOrderedAndProject (no global sort), codegen on the hot path.
+  * A correctness-green query with the wrong plan fails here.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("search filter: predicates and pruned columns reach the parquet scan") {
+    val p = plan(SparkEntry.queries("q_search_filter")(spark, sf))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("LessThan(p_size,25)"), "p_size filter must push down")
+    // column pruning: scan must not read unneeded columns like p_brand
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("p_brand") && !readSchema.contains("p_retailprice"),
+      s"scan reads too much: $readSchema")
+  }
+
+  test("flagship agg: tiny dimensions broadcast; partial+final hash aggregation") {
+    val p = plan(SparkEntry.queries("q_flagship_agg")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "nation/region must broadcast")
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expect partial+final agg")
+  }
+
+  test("top-k revenue: TakeOrderedAndProject, not a global sort") {
+    val p = plan(SparkEntry.queries("q_topk_revenue")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("cosine top-k: corpus is not shuffled — broadcast query row + top-k") {
+    val p = plan(SparkEntry.queries("q_cosine_topk")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the embeddings scan side must have no Exchange before the join
+    assert(!p.contains("SortMergeJoin"), "corpus side must not sort-merge")
+  }
+
+  test("token stats: whole-stage codegen covers the row-local HOF pipeline") {
+    val p = plan(SparkEntry.queries("q_token_stats")(spark, sf))
+    assert(p.contains("codegen id"), p) // formatted mode marks codegen spans with [codegen id : N]
+    assert(!p.contains("Exchange"), "row-local op must not shuffle")
+  }
+
+  test("semi/anti existence probes plan as joins, not subquery re-scans") {
+    val p = plan(SparkEntry.queries("q_semi_anti")(spark, sf))
+    assert(p.contains("LeftAnti") || p.contains("ExistenceJoin"), p)
+  }
+
+  test("events window agg: partial aggregation before the exchange") {
+    val df = SparkEntry.queries("q_events_window")(spark, sf)
+    val p  = plan(df)
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0, p)
+  }
+}
