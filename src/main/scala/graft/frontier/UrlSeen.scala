@@ -51,7 +51,14 @@ object PartitionedBloom {
     * each shard is assembled from its hash-range partition, then the (small,
     * fixed-size) shard filters are collected and merged driver-side.
     */
-  def build(hashes: DataFrame, nShards: Int, expectedTotal: Long, fpp: Double): PartitionedBloom = {
+  def build(hashes: DataFrame, nShards: Int, expectedTotal: Long, fpp: Double): PartitionedBloom =
+    buildWithCount(hashes, nShards, expectedTotal, fpp)._1
+
+  /** Like [[build]] but also returns the input row count, piggybacked on the
+    * same job — callers needing both (the wave loop) save a full action.
+    */
+  def buildWithCount(hashes: DataFrame, nShards: Int, expectedTotal: Long,
+      fpp: Double): (PartitionedBloom, Long) = {
     val spark = hashes.sparkSession
     import spark.implicits._
     val perShard = math.max(64L, expectedTotal / nShards)
@@ -62,17 +69,18 @@ object PartitionedBloom {
       .groupByKey(h => (((h % nShards) + nShards) % nShards).toInt)
       .mapGroups { (shard, it) =>
         val bf = BloomFilter.create(perShard, fpp)
-        it.foreach(bf.putLong)
+        var n  = 0L
+        it.foreach { h => bf.putLong(h); n += 1 }
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos)
-        (shard, bos.toByteArray)
+        (shard, bos.toByteArray, n)
       }
       .collect()
-    shardBlooms.foreach { case (shard, bytes) =>
+    shardBlooms.foreach { case (shard, bytes, _) =>
       pb.shards(shard).mergeInPlace(
         BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
     }
-    pb
+    (pb, shardBlooms.map(_._3).sum)
   }
 }
 

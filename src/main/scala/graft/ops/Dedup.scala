@@ -64,8 +64,17 @@ object Dedup {
   // ---- MinHash + LSH ----
 
   val MinhashK = 32  // signature length
-  val LshBands = 8   // 8 bands × 4 rows
+  val LshBands = 4   // 4 bands × 8 rows → collision threshold ≈ (1/4)^(1/8) ≈ 0.84 Jaccard
   val BandRows: Int = MinhashK / LshBands
+
+  /** Buckets larger than this are skipped as low-information bands (standard
+    * LSH practice: a band shared by thousands of documents identifies a
+    * boilerplate cluster, not candidate pairs — emitting its O(n²) pairs is
+    * the classic LSH blow-up). Exact duplicates are still caught by
+    * [[dedupExact]]; boilerplate clusters surface there or via
+    * [[TextOps.fingerprint]].
+    */
+  val MaxBucket = 64L
 
   /** Per-doc MinHash signature: sig[i] = min over distinct tokens of
     * xxhash64(token, i). Row-local (one aggregate HOF per hash function).
@@ -88,8 +97,14 @@ object Dedup {
       array((0 until LshBands).map { b =>
         xxhash64((0 until BandRows).map(r => col("sig")(b * BandRows + r)) :+ lit(b): _*)
       }: _*)).as(Seq("band", "band_hash")))
-    val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
-    val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("b_id"))
+    // cap bucket sizes BEFORE the self-join — the quadratic pair explosion
+    // of giant (boilerplate) buckets is the classic LSH failure mode
+    val bucketSizes = banded.groupBy(col("band"), col("band_hash"))
+      .count().filter(col("count") <= MaxBucket)
+      .select(col("band"), col("band_hash"))
+    val bounded = banded.join(bucketSizes, Seq("band", "band_hash"))
+    val l = bounded.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
+    val r = bounded.select(col("band"), col("band_hash"), col("doc_id").as("b_id"))
     val candidates = l.join(r, Seq("band", "band_hash"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()

@@ -184,6 +184,21 @@ object SyntheticSite {
     (url: String) => fetch(c)(url)
   }
 
+  /** Fetch through the full network-payload path: page → HTML bytes → parsed
+    * spans (graft.extract.HtmlSpans). Identical results to [[fetcher]]
+    * (render∘parse is the identity, property-tested) but with realistic
+    * per-page parse cost — a crawler's fetch stage spends its CPU here, so
+    * benchmarks use this fetcher.
+    */
+  def htmlFetcher(cfg: SiteConfig): String => Option[SpanDoc] = {
+    val c = cfg
+    (url: String) =>
+      fetch(c)(url).map { doc =>
+        val html = graft.extract.HtmlSpans.render(doc.doc_id, doc.spans)
+        SpanDoc(doc.doc_id, graft.extract.HtmlSpans.parse(html))
+      }
+  }
+
   /** Fetch a page by URL. None = fetch error (4xx/5xx analog) or foreign URL.
     * Pure: same (cfg, url) always yields the same document.
     */
