@@ -56,13 +56,14 @@ object SparkEntry {
     "q_url_canonicalize" -> ((s, d) => CrawlQueries.urlCanonicalize(s, d)),
     "q_frontier_select"  -> ((s, d) => CrawlQueries.frontierSelect(s, d)),
     "q_bloom_antijoin"   -> ((s, d) => CrawlQueries.bloomAntijoin(s, d)),
-    "q_crawl_synthetic"  -> ((s, d) => CrawlQueries.crawlSynthetic(s, d))
+    "q_crawl_synthetic"  -> ((s, d) => CrawlQueries.crawlSynthetic(s, d)),
+    "q_match_synthetic"  -> ((s, d) => CrawlQueries.matchSynthetic(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for hash-keyed / engine-native ops
     * (q_minhash_lsh, q_simhash_pairs, q_ann_lsh, q_media_decode_stub,
-    * q_crawl_synthetic) → driver records a rows-only check; their exactness
+    * q_crawl_synthetic, q_match_synthetic) → driver records a rows-only check; their exactness
     * oracles live in the ScalaTest suites.
     */
   def oracleSql: Map[String, String] = Map(

@@ -80,6 +80,30 @@ object CrawlQueries {
   val bloomAntijoinSql: String =
     "SELECT o_orderkey AS url_hash FROM orders WHERE o_orderkey % 2 = 1"
 
+  /** End-to-end E2 flagship path (rows-only): crawl → records → star
+    * normalization → flagship denormalizing agg → match against the
+    * reference's golden resume → top-k. The component exactness oracles live
+    * in CrawlOracleSpec/StarSpec/MatchSpec; this query proves the composed
+    * pipeline runs as one plan chain.
+    */
+  def matchSynthetic(spark: SparkSession, dir: String): DataFrame = {
+    import graft.relational.{Match, Star}
+    val site    = SiteConfig(universities = 2, deptsPerU = 2, facultyPerDept = 8,
+      errorFraction = 0.15)
+    val seeds   = SyntheticSite.seeds(site)
+    val result  = WaveRunner.run(spark, seeds, SyntheticSite.htmlFetcher(site), Nil,
+      WaveRunner.CrawlConfig(waveSeconds = 4.0))
+    val records = Records.facultyRecords(spark, result.docs, seeds)
+    val star    = Star.normalize(spark, records,
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    val resume = Match.Resume("John Doe",
+      Seq("Machine Learning", "Natural Language Processing", "Computer Vision"),
+      Seq(Match.Education("PhD", "Computer Science", "Stanford University", Some(2022))),
+      Nil)
+    Match.matchResume(spark, Star.facultyProfiles(star)
+      .withColumnRenamed("department_name", "department_name"), resume, topK = 10)
+  }
+
   /** Full crawl on the synthetic site (rows-only: its exactness oracle is the
     * sequential re-statement in the test suite, not SQL). Scale-independent
     * of sfDir by design — the crawl input is the synthetic frontier.
