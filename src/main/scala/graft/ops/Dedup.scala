@@ -76,15 +76,22 @@ object Dedup {
     */
   val MaxBucket = 64L
 
-  /** Per-doc MinHash signature: sig[i] = min over distinct tokens of
-    * xxhash64(token, i). Row-local (one aggregate HOF per hash function).
+  /** Per-doc MinHash signature from a PRE-PROJECTED distinct-token column:
+    * sig[i] = min over tokens of xxhash64(token, i). The tokens MUST be a
+    * column attribute, not an inline expression — an expression referenced
+    * inside the 32 aggregate lambdas would re-tokenize the text 32× per row
+    * (the same inlining trap as link extraction; see WaveRunner).
     */
-  def minhashSignature(text: Column): Column = {
-    val toks = array_distinct(TextOps.tokens(text))
+  def minhashSignatureFromTokens(toks: Column): Column =
     array((0 until MinhashK).map { i =>
       aggregate(toks, lit(Long.MaxValue), (acc, t) => least(acc, xxhash64(t, lit(i))))
     }: _*)
-  }
+
+  /** Convenience for single-expression use (tests, small data): tokenizes
+    * inline — do NOT use at scale, see [[minhashSignatureFromTokens]].
+    */
+  def minhashSignature(text: Column): Column =
+    minhashSignatureFromTokens(array_distinct(TextOps.tokens(text)))
 
   /** MinHash/LSH near-duplicate candidate pairs, verified with exact token
     * Jaccard ≥ `threshold`. Bucket join on (band, band-hash); candidate pairs
@@ -92,7 +99,8 @@ object Dedup {
     */
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val d = docs(spark, dir)
-      .select(col("doc_id"), col("text"), minhashSignature(col("text")).as("sig"))
+      .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      .select(col("doc_id"), minhashSignatureFromTokens(col("toks")).as("sig"))
     val banded = d.select(col("doc_id"), posexplode(
       array((0 until LshBands).map { b =>
         xxhash64((0 until BandRows).map(r => col("sig")(b * BandRows + r)) :+ lit(b): _*)
@@ -126,8 +134,11 @@ object Dedup {
   /** 64-bit SimHash over distinct tokens: one aggregate HOF accumulating 64
     * signed counters (zip_with), then bits → long. Row-local, codegen'd.
     */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(TextOps.tokens(text))
+  def simhash(text: Column): Column =
+    simhashFromTokens(array_distinct(TextOps.tokens(text)))
+
+  /** SimHash from a pre-projected token column (see minhash note above). */
+  def simhashFromTokens(toks: Column): Column = {
     val bitRange = sequence(lit(0), lit(63))
     val counters = aggregate(
       toks,
@@ -149,7 +160,9 @@ object Dedup {
     * by bit_count(xor) ≤ maxHamming.
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), simhash(col("text")).as("sh"))
+    val d = docs(spark, dir)
+      .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      .select(col("doc_id"), simhashFromTokens(col("toks")).as("sh"))
     val banded = d.select(col("doc_id"), col("sh"), posexplode(
       array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*))
