@@ -62,7 +62,7 @@ object Bench {
   private def crawlRate(cpus: Int): (Double, Long) = {
     val b = benchSite
     forkPinnedChild(cpus, Seq(b.universities, b.deptsPerU, b.facultyPerDept)
-      .map(_.toString) ++ Seq(benchCrawl.waveSeconds.toString, "3"))
+      .map(_.toString) ++ Seq(benchCrawl.waveSeconds.toString, "2"))
       .getOrElse(inProcessRate(cpus))
   }
 
@@ -98,7 +98,7 @@ object Bench {
     val spark = session(cpus)
     val warmSite = SiteConfig(universities = 1, deptsPerU = 1, facultyPerDept = 4)
     WaveRunner.run(spark, SyntheticSite.seeds(warmSite),
-      SyntheticSite.fetcher(warmSite), Nil, benchCrawl)
+      SyntheticSite.htmlFetcher(warmSite), Nil, benchCrawl).release()
     val seeds   = SyntheticSite.seeds(benchSite)
     val fetcher = SyntheticSite.htmlFetcher(benchSite)
     val runs = (1 to 2).map { _ =>
