@@ -159,7 +159,11 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // single-scan operators persist shared projections; release between
+      // queries so one query's blocks don't skew the next one's timing
+      spark.catalog.clearCache()
+      name -> sec
     }
     spark.stop()
 

@@ -7,7 +7,6 @@ import graft.synth.SyntheticSite.Seed
 import graft.urls.Urls
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -50,6 +49,13 @@ final case class WaveFetch(url: String, urlHash: Long, host: String, depth: Int,
   *    loop needs or the logical plan grows without bound.
   */
 object WaveRunner {
+
+  /** Per-page link-ordinal base for the discoveredRank encoding
+    * (rank = parent_rank × RankBase + link_rank): supports up to 100k links
+    * per page and ~3 depth levels before Long range runs out — both enforced
+    * loudly (see the candidates projection), never by silent wraparound.
+    */
+  val RankBase = 100000L
 
   final case class CrawlConfig(
       maxDepth: Int = 1,
@@ -265,7 +271,18 @@ object WaveRunner {
           .withColumn("host", Urls.hostOfUdf(col("url")))
           .withColumn("url_hash", xxhash64(col("url")))
           .withColumn("depth", col("parent_depth") + 1)
-          .withColumn("discoveredRank", col("parent_rank") * 100000L + col("link_rank"))
+          // first-discovery ordering encodes (parent_rank, link_rank) into one
+          // long: rank = parent*RankBase + link. The guard fails LOUDLY on a
+          // page with ≥ RankBase links (silent collision would corrupt the
+          // first-discovery-wins ordering the exactness oracle checks); depth
+          // overflow (RankBase^depth past ~3 with large seed ranks) throws in
+          // Spark 4 ANSI arithmetic rather than wrapping.
+          .withColumn("discoveredRank",
+            when(col("link_rank") < RankBase,
+              col("parent_rank") * RankBase + col("link_rank"))
+              .otherwise(raise_error(concat(
+                lit(s"page has >= $RankBase link spans (url="), col("parent_url"),
+                lit("); discoveredRank encoding cannot order them")))))
           .filter(col("depth") <= cfg.maxDepth)
           // whitelist as a broadcast SEMI JOIN, not an isInCollection literal:
           // a large host list inlined into codegen recompiles every wave (and
@@ -381,10 +398,29 @@ object WaveRunner {
       "wave int, host string, host_rank long, url string")
     val metrics = union(spark, metricsDeltas.result(),
       "wave int, host string, fetched long, errors long, fetchMsTotal long, urlsEnqueued long")
-    val order = orderRaw
-      .withColumn("seq", row_number().over(
-        Window.orderBy(col("wave"), col("host"), col("host_rank"))).cast("long") - 1L)
-      .select(col("seq"), col("wave"), col("host"), col("host_rank"), col("url"))
+    // Global crawl sequence WITHOUT an unpartitioned window (which funnels
+    // every fetched URL ever through ONE task): within (wave, host) the rows
+    // are already densely ranked by host_rank, so seq = group offset +
+    // host_rank. Group sizes come from the per-(wave,host) metrics — already
+    // aggregated, O(hosts×waves) rows, never O(URLs) — prefix-summed on the
+    // driver in the same (wave asc, host asc) order the window used, then
+    // broadcast-joined back. Hosts are ASCII (URL syntax), so JVM string
+    // order here equals Spark's UTF8 binary order.
+    val order = {
+      import spark.implicits._
+      val counts = metrics
+        .select(col("wave"), col("host"), (col("fetched") + col("errors")).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        .sortBy(r => (r._1, r._2))
+      var running = 0L
+      val offsets = counts.map { case (w, h, n) =>
+        val o = running; running += n; (w, h, o)
+      }.toSeq.toDF("wave", "host", "__offset")
+      orderRaw.join(broadcast(offsets), Seq("wave", "host"))
+        .withColumn("seq", col("__offset") + col("host_rank"))
+        .select(col("seq"), col("wave"), col("host"), col("host_rank"), col("url"))
+    }
     CrawlResult(frontier, seen, docs, order, metrics, wave, totalFetches, cached.result())
   }
 
@@ -415,9 +451,22 @@ object WaveRunner {
   private def listCommitted(dir: String): Seq[Int] = {
     val d = new java.io.File(dir)
     if (!d.exists()) Nil
-    else d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("wave=") &&
-        new java.io.File(f, "_COMMITTED").exists())
-      .map(_.getName.stripPrefix("wave=").toInt)
+    else {
+      val files = d.listFiles()
+      if (files == null)
+        throw new IllegalStateException(
+          s"snapshot dir $dir exists but is not listable (not a directory, or IO error)")
+      files.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("wave=") &&
+          new java.io.File(f, "_COMMITTED").exists())
+        .map { f =>
+          try f.getName.stripPrefix("wave=").toInt
+          catch {
+            case _: NumberFormatException => throw new IllegalStateException(
+              s"malformed snapshot directory name '${f.getName}' in $dir " +
+                "(expected wave=<int>)")
+          }
+        }
+    }
   }
 }

@@ -52,15 +52,27 @@ object ResumeParse {
     ("(?i)(?:^|\\n)(?:(?:I\\.?|II\\.?|III\\.?|IV\\.?)\\s+)?(" +
       SectionHeaders.mkString("|") + ")[:\\s]*(?:\\n|$)").r
 
-  /** F9 — section name → content (parser.py:86-110). */
-  def splitSections(text: String): Map[String, String] = {
+  /** F9 — section name → content, in DOCUMENT order (parser.py:86-110).
+    *
+    * The reference stores sections in a Python dict and every consumer takes
+    * the FIRST matching header in iteration order — i.e. insertion (document)
+    * order, with a duplicated header keeping its first position but last
+    * value. A plain Scala `Map` hashes ≥5 entries into arbitrary order and
+    * silently breaks that first-match parity; `LinkedHashMap` reproduces the
+    * dict semantics exactly.
+    */
+  def splitSections(text: String): Seq[(String, String)] = {
     val ms = SectionRe.findAllMatchIn(text).toVector
-    if (ms.isEmpty) Map("FULL_TEXT" -> text)
-    else ms.zipWithIndex.map { case (m, i) =>
-      val start = m.end
-      val end   = if (i == ms.length - 1) text.length else ms(i + 1).start
-      m.group(1).toUpperCase -> text.substring(start, end).trim
-    }.toMap
+    if (ms.isEmpty) Seq("FULL_TEXT" -> text)
+    else {
+      val ordered = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      ms.zipWithIndex.foreach { case (m, i) =>
+        val start = m.end
+        val end   = if (i == ms.length - 1) text.length else ms(i + 1).start
+        ordered.update(m.group(1).toUpperCase, text.substring(start, end).trim)
+      }
+      ordered.toSeq
+    }
   }
 
   // parser.py:167-172
@@ -76,12 +88,14 @@ object ResumeParse {
 
   private val YearRe = """\b(19\d{2}|20\d{2})\b""".r
 
-  /** F10/F11/A3 — education entries from a section (parser.py:143-228). */
-  def extractEducation(sections: Map[String, String]): Seq[ParsedEducation] = {
+  /** F10/F11/A3 — education entries from a section (parser.py:143-228).
+    * First matching header in document order wins (sections is ordered).
+    */
+  def extractEducation(sections: Seq[(String, String)]): Seq[ParsedEducation] = {
     val section = sections.collectFirst {
       case (name, content) if name.contains("EDUCATION") ||
         name.contains("ACADEMIC") || name.contains("QUALIFICATIONS") => content
-    }.orElse(sections.get("FULL_TEXT"))
+    }.orElse(sections.collectFirst { case ("FULL_TEXT", c) => c })
     section.toSeq.flatMap { sec =>
       sec.split("\n\n").toSeq.filter(_.trim.nonEmpty).flatMap { para =>
         val degree = DegreeKeywords.find { k =>
@@ -118,12 +132,14 @@ object ResumeParse {
     "processing", "recognition", "network", "computing", "systems",
     "design", "engineering", "analysis", "theory", "optimization")
 
-  /** F12/F13/F14 — research interests (parser.py:230-311). */
-  def extractInterests(sections: Map[String, String]): Seq[String] = {
+  /** F12/F13/F14 — research interests (parser.py:230-311).
+    * First matching header in document order wins (sections is ordered).
+    */
+  def extractInterests(sections: Seq[(String, String)]): Seq[String] = {
     val section = sections.collectFirst {
       case (n, c) if n.contains("RESEARCH") || n.contains("INTERESTS") => c
     }.orElse(sections.collectFirst { case (n, c) if n.contains("SKILLS") => c })
-      .orElse(sections.get("FULL_TEXT"))
+      .orElse(sections.collectFirst { case ("FULL_TEXT", c) => c })
     section.toSeq.flatMap { sec =>
       val bullets = BulletRe.findAllMatchIn(sec).map(_.group(1)).toSeq
       if (bullets.nonEmpty) {

@@ -27,14 +27,18 @@ object Robots {
     * null rule → default allow + 1 s delay. Adds:
     *   `crawl_delay_s: double`, `allowed: boolean`.
     * Deny semantics: URL path starts with any deny prefix.
+    *
+    * Rules are first merged to ONE row per host (deny prefixes unioned, the
+    * most conservative — largest — crawl delay kept): duplicate host rows
+    * would fan the frontier out through the join and the same URL would be
+    * selected/fetched twice in a wave, corrupting ordering and budgets.
     */
   def withRules(frontier: DataFrame, rules: DataFrame): DataFrame = {
-    val joined = frontier.join(
-      broadcast(rules.select(
-        col("host"),
-        col("denyPrefixes").as("__deny"),
-        col("crawlDelayS").as("__delay"))),
-      Seq("host"), "left")
+    val perHost = rules.groupBy(col("host")).agg(
+      array_sort(array_distinct(flatten(collect_list(col("denyPrefixes")))))
+        .as("__deny"),
+      max(col("crawlDelayS")).as("__delay"))
+    val joined = frontier.join(broadcast(perHost), Seq("host"), "left")
     val path = regexp_replace(col("url"), "^https?://[^/]*", "")
     joined
       .withColumn("crawl_delay_s", coalesce(col("__delay"), lit(DefaultCrawlDelayS)))

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a training-data pipeline over `documents`:
   * exact (hash group-by), n-gram Jaccard (exact pairwise on candidate pairs),
@@ -11,6 +12,14 @@ import org.apache.spark.sql.functions._
   * is the 10^10-doc path — signatures are row-local HOF pipelines (no UDF),
   * candidate generation shuffles on (band, band_hash) buckets only, and the
   * exact Jaccard verify runs on the (tiny) candidate set, never all pairs.
+  * The tokenized projection is persisted so the corpus is scanned ONCE per
+  * query (signature build and verify join share it); callers running many
+  * queries in one session release the blocks with `spark.catalog.clearCache()`
+  * (Bench/Verify do).
+  *
+  * Capped buckets are never silent: each candidate-generation plan carries an
+  * `observe()` aggregate counting dropped buckets/rows, logged on completion
+  * by [[ObservedMetrics]] — zero extra jobs.
   */
 object Dedup {
 
@@ -93,31 +102,54 @@ object Dedup {
   def minhashSignature(text: Column): Column =
     minhashSignatureFromTokens(array_distinct(TextOps.tokens(text)))
 
+  /** Bucket-size pre-filter shared by the LSH family: keep only buckets with
+    * ≤ [[MaxBucket]] members, and account for what was dropped via a named
+    * `observe()` aggregate (logged by [[ObservedMetrics]] when the query
+    * finishes — the cap is bounded AND visible, never silent).
+    */
+  private def boundedBuckets(banded: DataFrame, keyCols: Seq[String],
+      opName: String): DataFrame = {
+    ObservedMetrics.ensureRegistered(banded.sparkSession)
+    val key = keyCols.map(col)
+    val bucketSizes = banded.groupBy(key: _*).count()
+      .observe(s"graft.$opName",
+        sum(when(col("count") > MaxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_buckets"),
+        coalesce(sum(when(col("count") > MaxBucket, col("count"))), lit(0L))
+          .as("dropped_rows"))
+      .filter(col("count") <= MaxBucket)
+      .select(key: _*)
+    banded.join(bucketSizes, keyCols)
+  }
+
   /** MinHash/LSH near-duplicate candidate pairs, verified with exact token
     * Jaccard ≥ `threshold`. Bucket join on (band, band-hash); candidate pairs
     * are deduplicated across bands before the verify join.
+    *
+    * Single corpus scan: the tokenized projection is persisted and feeds BOTH
+    * the signature pipeline and the verify join (unpersisted lineage would
+    * re-read + re-tokenize the full corpus twice — two extra 100 TB scans).
     */
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val d = docs(spark, dir)
+    val toks = docs(spark, dir)
       .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("toks"))
-      .select(col("doc_id"), minhashSignatureFromTokens(col("toks")).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d = toks.select(col("doc_id"), minhashSignatureFromTokens(col("toks")).as("sig"))
+    // banded is consumed twice (bucket sizing + the bucket join); persisting
+    // these 4 tiny rows/doc keeps the 32-hash signature build single-pass
     val banded = d.select(col("doc_id"), posexplode(
       array((0 until LshBands).map { b =>
         xxhash64((0 until BandRows).map(r => col("sig")(b * BandRows + r)) :+ lit(b): _*)
       }: _*)).as(Seq("band", "band_hash")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // cap bucket sizes BEFORE the self-join — the quadratic pair explosion
     // of giant (boilerplate) buckets is the classic LSH failure mode
-    val bucketSizes = banded.groupBy(col("band"), col("band_hash"))
-      .count().filter(col("count") <= MaxBucket)
-      .select(col("band"), col("band_hash"))
-    val bounded = banded.join(bucketSizes, Seq("band", "band_hash"))
+    val bounded = boundedBuckets(banded, Seq("band", "band_hash"), "minhash_lsh")
     val l = bounded.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
     val r = bounded.select(col("band"), col("band_hash"), col("doc_id").as("b_id"))
     val candidates = l.join(r, Seq("band", "band_hash"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("toks"))
     candidates
       .join(toks.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), "a_id")
       .join(toks.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), "b_id")
@@ -158,6 +190,13 @@ object Dedup {
   /** SimHash near-dup pairs: candidates share one of 4 16-bit bands (any pair
     * within Hamming distance 3 must agree on ≥1 band by pigeonhole), verified
     * by bit_count(xor) ≤ maxHamming.
+    *
+    * Same scale guards as [[minhashLshPairs]]: band buckets are capped at
+    * [[MaxBucket]] BEFORE the self-join (an uncapped band value shared by a
+    * boilerplate cluster explodes O(n²)), drops are observed not silent, the
+    * banded projection is persisted (one signature build), and the hamming
+    * verify filter runs BEFORE the cross-band `distinct()` so the dedup
+    * shuffle carries only surviving pairs.
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val d = docs(spark, dir)
@@ -167,15 +206,17 @@ object Dedup {
       array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*))
       .as(Seq("band", "band_val")))
-    val l = banded.select(col("band"), col("band_val"),
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bounded = boundedBuckets(banded, Seq("band", "band_val"), "simhash_pairs")
+    val l = bounded.select(col("band"), col("band_val"),
       col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val r = banded.select(col("band"), col("band_val"),
+    val r = bounded.select(col("band"), col("band_val"),
       col("doc_id").as("b_id"), col("sh").as("b_sh"))
     l.join(r, Seq("band", "band_val"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -34,6 +34,17 @@ object TextOps {
   def nonStopTokens(text: Column): Column =
     filter(tokens(text), t => !t.isin(Stopwords.map(_.asInstanceOf[Any]): _*))
 
+  /** Adjacent-token bigrams joined by a single space, from an already-filtered
+    * token array (the reference vectorizer builds ngrams AFTER stopword
+    * removal — sklearn semantics, `matcher.py:46-50`). Row-local, codegen'd;
+    * empty for arrays shorter than 2.
+    */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+
   // ---- year extraction (reference `main.py:263-265`, F5) ----
 
   /** Regex year extraction over deterministically synthesized publication
@@ -189,29 +200,53 @@ object TextOps {
 
   // ---- TF-IDF cosine (reference `matcher.py:117-153`, SURVEY A6) ----
 
-  /** Relational TF-IDF + cosine against a query document (min doc_id):
-    * tokenize → tf per (doc, term) → df per term → smoothed idf
-    * (ln((N+1)/(df+1))+1, the sklearn form the reference uses) → L2-normalized
-    * weights → dot product with the query document's vector. Top 20.
+  /** Vocabulary cap, per the reference vectorizer's `max_features=5000`
+    * (`matcher.py:46-50`): keep the 5000 terms with the highest corpus term
+    * frequency, ties broken ascending by term (deterministic in both engines).
+    */
+  val MaxFeatures = 5000
+
+  /** Relational TF-IDF + cosine against a query document (min doc_id), with
+    * the reference vectorizer's configuration (`matcher.py:46-50`): ngram
+    * range (1,2) over stopword-filtered tokens, vocabulary capped at
+    * [[MaxFeatures]] by corpus term frequency, smoothed idf
+    * ln((N+1)/(df+1))+1, L2-normalized weights, cosine vs the query vector.
+    * Top 20.
     *
     * Shuffle profile at scale: one shuffle for tf (groupBy doc,term), one for
-    * df (groupBy term), the query-side vectors broadcast (single doc), final
-    * top-k via TakeOrderedAndProject.
+    * the vocab/df agg (groupBy term), vocab + query-side vectors broadcast
+    * (≤5000 rows / 1 doc), final top-k via TakeOrderedAndProject. The `tf`,
+    * `w`, and `norms` lineages are each consumed more than once, so all three
+    * are persisted — unpersisted, Spark re-executes the tokenize→explode→agg
+    * chain per consumer (measured 3 corpus scans; at 100 TB that is the whole
+    * job). Sessions running many queries release via `clearCache()`.
     */
   def tfidfCosine(spark: SparkSession, dir: String): DataFrame = {
-    val d  = docs(spark, dir)
-    val tf = d.select(col("doc_id"), explode(nonStopTokens(col("text"))).as("term"))
+    import org.apache.spark.storage.StorageLevel
+    val d = docs(spark, dir)
+      .select(col("doc_id"), nonStopTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        concat(col("toks"), bigrams(col("toks"))).as("terms"))
+    val tf = d.select(col("doc_id"), explode(col("terms")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val n  = d.agg(count(lit(1)).as("n"))
-    val df = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-    val w = tf.join(df, "term")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // vocabulary cap + document frequency in ONE pass over tf
+    val vocab = tf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("cnt"), count(lit(1)).as("df"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(MaxFeatures)
+      .select(col("term"), col("df"))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n"))
+    val w = tf.join(broadcast(vocab), "term")
       .crossJoin(broadcast(n))
       .withColumn("w",
         col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0))
       .select(col("doc_id"), col("term"), col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val norms = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
-    val qId = d.agg(min(col("doc_id")).as("q_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qId = docs(spark, dir).agg(min(col("doc_id")).as("q_id"))
     val qw = w.join(broadcast(qId), w("doc_id") === qId("q_id"))
       .select(col("term"), col("w").as("qw"))
     val qNorm = norms.join(broadcast(qId), norms("doc_id") === qId("q_id"))
@@ -229,15 +264,20 @@ object TextOps {
 
   val tfidfCosineSql: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
-       |    t -> NOT list_contains($stopwordsSqlList, t))) AS term
+       |  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+       |    t -> NOT list_contains($stopwordsSqlList, t)) AS ts
        |  FROM documents),
-       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |terms AS (
+       |  SELECT doc_id, unnest(ts || list_transform(
+       |    generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i + 1])) AS term
+       |  FROM toks),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+       |          ORDER BY sum(tf) DESC, term ASC LIMIT $MaxFeatures),
        |n AS (SELECT count(*) AS n FROM documents),
-       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
        |w AS (SELECT tf.doc_id, tf.term,
-       |        tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS w
-       |      FROM tf JOIN df USING (term) CROSS JOIN n),
+       |        tf.tf * (ln((n.n + 1.0) / (vocab.df + 1.0)) + 1.0) AS w
+       |      FROM tf JOIN vocab USING (term) CROSS JOIN n),
        |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1),
        |q AS (SELECT term, w AS qw FROM w WHERE doc_id = (SELECT min(doc_id) FROM documents)),
        |qn AS (SELECT norm AS q_norm FROM norms

@@ -59,24 +59,34 @@ object Match {
     * idf(t) = ln((2+1)/(df+1)) + 1 with df ∈ {1,2}; weights tf·idf,
     * L2-normalized; cosine = dot. 0 when either side is empty.
     */
-  def pairwiseTfidfCosine(aText: String, bText: String): Double = {
-    val a = tokensWithBigrams(aText)
-    val b = tokensWithBigrams(bText)
-    if (a.isEmpty || b.isEmpty) return 0.0
+  def pairwiseTfidfCosine(aText: String, bText: String): Double =
+    pairwiseTfidfCosineFixed(aText)(bText)
+
+  /** Curried form for a CONSTANT left document: tokenizes + tf-counts `aText`
+    * once, returning a closure scoring any right document against it. The
+    * match pipeline scores one resume against N faculty rows — the uncurried
+    * form re-tokenizes the identical resume N times inside the UDF.
+    */
+  def pairwiseTfidfCosineFixed(aText: String): String => Double = {
+    val a   = tokensWithBigrams(aText)
     val tfA = a.groupBy(identity).view.mapValues(_.size.toDouble).toMap
-    val tfB = b.groupBy(identity).view.mapValues(_.size.toDouble).toMap
     val idfShared = 1.0                      // ln(3/3)+1
     val idfUnique = math.log(3.0 / 2.0) + 1  // ln(3/2)+1
-    def weights(tf: Map[String, Double], other: Map[String, Double]) =
-      tf.map { case (t, f) =>
-        t -> f * (if (other.contains(t)) idfShared else idfUnique)
+    (bText: String) => {
+      val b = tokensWithBigrams(bText)
+      if (a.isEmpty || b.isEmpty) 0.0
+      else {
+        val tfB = b.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+        val wA = tfA.map { case (t, f) =>
+          t -> f * (if (tfB.contains(t)) idfShared else idfUnique) }
+        val wB = tfB.map { case (t, f) =>
+          t -> f * (if (tfA.contains(t)) idfShared else idfUnique) }
+        val dot = wA.collect { case (t, w) if wB.contains(t) => w * wB(t) }.sum
+        val nA  = math.sqrt(wA.values.map(w => w * w).sum)
+        val nB  = math.sqrt(wB.values.map(w => w * w).sum)
+        if (nA == 0 || nB == 0) 0.0 else dot / (nA * nB)
       }
-    val wA = weights(tfA, tfB)
-    val wB = weights(tfB, tfA)
-    val dot = wA.collect { case (t, w) if wB.contains(t) => w * wB(t) }.sum
-    val nA  = math.sqrt(wA.values.map(w => w * w).sum)
-    val nB  = math.sqrt(wB.values.map(w => w * w).sum)
-    if (nA == 0 || nB == 0) 0.0 else dot / (nA * nB)
+    }
   }
 
   /** Fallback keyword extraction (`matcher.py:295-304`): `[a-zA-Z]{3,}` words
@@ -89,13 +99,18 @@ object Match {
   /** keyword_match = |common lowered sets| / max(|resume keywords|, 1)
     * (`matcher.py:373-378`).
     */
-  def keywordMatch(resumeText: String, facultyText: String): Double = {
-    val rk = keywords(resumeText)
-    val fk = keywords(facultyText)
-    if (rk.isEmpty || fk.isEmpty) 0.0
-    else {
-      val common = rk.map(_.toLowerCase).toSet intersect fk.map(_.toLowerCase).toSet
-      common.size.toDouble / math.max(rk.size, 1)
+  def keywordMatch(resumeText: String, facultyText: String): Double =
+    keywordMatchFixed(resumeText)(facultyText)
+
+  /** Curried form for a constant resume (see [[pairwiseTfidfCosineFixed]]). */
+  def keywordMatchFixed(resumeText: String): String => Double = {
+    val rk      = keywords(resumeText)
+    val rkLower = rk.map(_.toLowerCase).toSet
+    val denom   = math.max(rk.size, 1)
+    (facultyText: String) => {
+      val fk = keywords(facultyText)
+      if (rk.isEmpty || fk.isEmpty) 0.0
+      else (rkLower intersect fk.map(_.toLowerCase).toSet).size.toDouble / denom
     }
   }
 
@@ -114,24 +129,26 @@ object Match {
     val resumeEdu       = eduText(resume.education)
     val resumePubs      = resume.publications.mkString(" ")
 
-    val cosineVs = udf((facultyText: String, resumeText: String) =>
-      pairwiseTfidfCosine(resumeText, facultyText))
-    val kwVs = udf((facultyText: String, resumeText: String) =>
-      keywordMatch(resumeText, facultyText))
+    // resume-side tf maps are computed ONCE on the driver and travel in the
+    // UDF closures — the resume is a constant; re-tokenizing it per faculty
+    // row was N-1 wasted tokenizations
+    val cosineVsInterests = udf(pairwiseTfidfCosineFixed(resumeInterests))
+    val cosineVsPubs      = udf(pairwiseTfidfCosineFixed(resumePubs))
+    val kwVsInterests     = udf(keywordMatchFixed(resumeInterests))
 
     val fInterests = concat_ws(" ", col("research_interests"))
     val fPubs      = concat_ws(" ", coalesce(col("publications"), array()))
 
     val scored = faculty
-      .withColumn("interests_raw", cosineVs(fInterests, lit(resumeInterests)))
+      .withColumn("interests_raw", cosineVsInterests(fInterests))
       // faculty rows carry no education in the reference star → 0.0
       .withColumn("education_raw", lit(0.0))
       .withColumn("publications_raw",
         when(lit(resumePubs.nonEmpty) && size(coalesce(col("publications"), array())) > 0,
-          cosineVs(fPubs, lit(resumePubs))).otherwise(0.0))
+          cosineVsPubs(fPubs)).otherwise(0.0))
       .withColumn("keyword_raw",
         when(lit(resumeInterests.nonEmpty) && size(col("research_interests")) > 0,
-          kwVs(fInterests, lit(resumeInterests))).otherwise(0.0))
+          kwVsInterests(fInterests)).otherwise(0.0))
       .withColumn("overall_raw",
         col("interests_raw") * 0.5 + col("education_raw") * 0.2 +
           col("publications_raw") * 0.1 + col("keyword_raw") * 0.2)

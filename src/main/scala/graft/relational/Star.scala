@@ -99,27 +99,38 @@ object Star {
   }
 
   /** The flagship query (`main.py:351-372`): star back to flat profiles with
-    * DISTINCT child aggregation. Dimensions broadcast; the two child tables
-    * aggregate with partial+final hash agg; null children filtered as the
-    * reference does (`main.py:389-390`).
+    * DISTINCT child aggregation. Dimensions broadcast; null children filtered
+    * as the reference does (`main.py:389-390`).
+    *
+    * Scale shape: each child table is pre-aggregated to ONE row per
+    * faculty_id before joining — joining both children first (the reference
+    * SQL's literal shape) fans every faculty row out interests×publications
+    * ways (≤50× under the 5/10 caps) before the group-by re-collapses it.
+    * Pre-aggregation makes the join sides 1:1 and drops the fan-out shuffle
+    * entirely; the result is row-identical.
     */
   def facultyProfiles(star: StarTables): DataFrame = {
-    val f = star.faculty
-    f.join(broadcast(star.departments
+    val interestsAgg = star.researchInterests
+      .groupBy(col("faculty_id"))
+      .agg(array_sort(collect_set(col("interest"))).as("research_interests"))
+    val pubsAgg = star.publications
+      .groupBy(col("faculty_id"))
+      .agg(array_sort(collect_set(col("title"))).as("publications"))
+    star.faculty
+      .join(broadcast(star.departments
         .select(col("department_id"), col("name").as("department_name"),
           col("university_id"))), "department_id")
       .join(broadcast(star.universities
         .select(col("university_id"), col("name").as("university_name"))), "university_id")
-      .join(star.researchInterests.select(col("faculty_id"), col("interest")),
-        Seq("faculty_id"), "left")
-      .join(star.publications.select(col("faculty_id"), col("title").as("pub_title")),
-        Seq("faculty_id"), "left")
-      .groupBy(col("faculty_id"), col("first_name"), col("last_name"),
+      .join(interestsAgg, Seq("faculty_id"), "left")
+      .join(pubsAgg, Seq("faculty_id"), "left")
+      .select(col("faculty_id"), col("first_name"), col("last_name"),
         col("title"), col("email"), col("profile_url"),
-        col("department_name"), col("university_name"))
-      .agg(
-        array_sort(collect_set(col("interest"))).as("research_interests"),
-        array_sort(collect_set(col("pub_title"))).as("publications"))
+        col("department_name"), col("university_name"),
+        coalesce(col("research_interests"), array().cast("array<string>"))
+          .as("research_interests"),
+        coalesce(col("publications"), array().cast("array<string>"))
+          .as("publications"))
       .withColumn("name", trim(concat_ws(" ", col("first_name"), col("last_name"))))
   }
 

@@ -40,6 +40,37 @@ class OpsSpec extends SparkSpec {
     assert(rows(0).getSeq[Long](0).length === Dedup.MinhashK)
   }
 
+  test("simhash pairs: planted boilerplate cluster is capped, never O(n²)") {
+    // 300 copies of one boilerplate doc share every band value → uncapped,
+    // the band self-join would emit C(300,2) = 44,850 pairs; the MaxBucket
+    // cap must drop the cluster (it's exact-dedup's job) while the small
+    // bucket holding the planted identical pair still pairs up.
+    val boiler = "terms of service privacy policy all rights reserved contact " +
+      "us subscribe newsletter copyright footer navigation menu links"
+    val real = "novel research article about catalyst shuffle partitioning " +
+      "strategies for exascale training data pipelines and dedup"
+    val docs = ((0 until 300).map(i => (i.toLong, boiler)) ++
+      Seq((1000L, real), (1001L, real))).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("simhash_cap").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.simhashPairs(spark, tmp)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(pairs === Set((1000L, 1001L)),
+      s"expected only the planted pair; got ${pairs.size} pairs")
+  }
+
+  test("minhash LSH: one corpus scan — reads go through the cached projection") {
+    val df = Dedup.minhashLshPairs(spark, sf)
+    val p  = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("InMemoryTableScan"), "token projection must be persisted")
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(docScans <= 1, s"documents scanned $docScans times:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("simhash: near-identical texts within small hamming; distinct texts far") {
     val df = Seq(
       ("the quick brown fox jumps over the lazy dog and runs far away tonight",

@@ -63,4 +63,20 @@ class PlanSpec extends SparkSpec {
     val exchange = p.indexOf("Exchange")
     assert(firstAgg >= 0 && exchange >= 0, p)
   }
+
+  test("source gate: no unpartitioned windows in main (single-task funnels)") {
+    // Window.orderBy without partitionBy moves EVERY row through one task —
+    // the crawl-order seq regression the verdict flagged. Gate the whole main
+    // source tree: every Window definition must start from Window.partitionBy.
+    val srcRoot = new java.io.File("src/main/scala")
+    def scalaFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(scalaFiles)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    val offenders = scalaFiles(srcRoot).flatMap { f =>
+      val text = java.nio.file.Files.readString(f.toPath)
+      if (text.contains("Window.orderBy")) Some(f.getPath) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window.orderBy found in: ${offenders.mkString(", ")}")
+  }
 }

@@ -41,15 +41,41 @@ class ResumeParseSpec extends AnyFunSuite {
   test("F9 sections: roman-numeral prefixes, colons, FULL_TEXT fallback") {
     val s = ResumeParse.splitSections(
       "intro\nII. WORK EXPERIENCE:\nacme corp\nSKILLS\nscala, spark")
-    assert(s.keySet === Set("WORK EXPERIENCE", "SKILLS"))
-    assert(s("WORK EXPERIENCE") === "acme corp")
-    assert(s("SKILLS") === "scala, spark")
+    assert(s.map(_._1) === Seq("WORK EXPERIENCE", "SKILLS"))
+    assert(s.toMap.apply("WORK EXPERIENCE") === "acme corp")
+    assert(s.toMap.apply("SKILLS") === "scala, spark")
     assert(ResumeParse.splitSections("no headers here") ===
-      Map("FULL_TEXT" -> "no headers here"))
+      Seq("FULL_TEXT" -> "no headers here"))
+  }
+
+  test("F9 sections preserve document order; first matching header wins") {
+    // 6 sections — enough that an unordered HashMap would scramble them; the
+    // reference's dict iteration takes QUALIFICATIONS (first in document
+    // order) over the later EDUCATION section
+    val text = Seq(
+      "QUALIFICATIONS", "BS in Physics, Acme College, 2001",
+      "SKILLS", "scala",
+      "PROJECTS", "p",
+      "AWARDS", "a",
+      "LANGUAGES", "en",
+      "EDUCATION", "PhD in Math, Stanford University, 2010").mkString("\n")
+    val sections = ResumeParse.splitSections(text)
+    assert(sections.map(_._1) === Seq("QUALIFICATIONS", "SKILLS", "PROJECTS",
+      "AWARDS", "LANGUAGES", "EDUCATION"))
+    val edu = ResumeParse.extractEducation(sections)
+    assert(edu.head.degree === "BS")
+    assert(edu.head.institution === "Acme College")
+  }
+
+  test("F9 duplicate header: first position, last value (python dict parity)") {
+    val sections = ResumeParse.splitSections(
+      "EDUCATION\nold content\nSKILLS\nscala\nEDUCATION\nBS in Chemistry, Oak College, 1999")
+    assert(sections.map(_._1) === Seq("EDUCATION", "SKILLS"))
+    assert(sections.head._2 === "BS in Chemistry, Oak College, 1999")
   }
 
   test("F10 degree cascade: first matching keyword in list order wins") {
-    val edu = ResumeParse.extractEducation(Map(
+    val edu = ResumeParse.extractEducation(Seq(
       "EDUCATION" -> "Master of Science in Electrical Engineering, MIT College, 2018"))
     // "MS" is \b-bounded so it does NOT match inside "Master of Science"
     assert(edu.head.degree === "Master of Science")
@@ -61,21 +87,21 @@ class ResumeParseSpec extends AnyFunSuite {
     // reference quirk kept: \bB\.S\.\b cannot match "B.S. " (no word char
     // after the final dot) — Python behaves identically, so the entry comes
     // from the institution match with an empty degree
-    val edu = ResumeParse.extractEducation(Map(
+    val edu = ResumeParse.extractEducation(Seq(
       "EDUCATION" -> "B.S. in Physics\nUniversity of Washington\n1999"))
     assert(edu.head.degree === "")
     // second reference quirk: [a-zA-Z\s] includes \n, so the TitleCase
     // institution pattern absorbs the preceding line (Python identical)
     assert(edu.head.institution === "Physics\nUniversity")
     assert(edu.head.year === Some(1999))
-    val edu2 = ResumeParse.extractEducation(Map(
+    val edu2 = ResumeParse.extractEducation(Seq(
       "EDUCATION" -> "BS in Physics, Washington College, 1999"))
     assert(edu2.head.degree === "BS")
     assert(edu2.head.field === "Physics")
   }
 
   test("F12 bullets: glyph variants, numbered items, 100-char threshold") {
-    val sec = Map("RESEARCH INTERESTS" ->
+    val sec = Seq("RESEARCH INTERESTS" ->
       ("• Deep Learning\n- Graph Mining\n1. Speech Recognition\n* " + "x" * 120))
     val got = ResumeParse.extractInterests(sec)
     assert(got === Seq("Deep Learning", "Graph Mining", "Speech Recognition"))
@@ -84,10 +110,10 @@ class ResumeParseSpec extends AnyFunSuite {
   test("F13 interest markers: split on , ; — only bare and/or dropped") {
     // reference quirk kept: the and/or filter is exact-match on the whole
     // piece (parser.py:288), so "and robotics" survives
-    val got = ResumeParse.extractInterests(Map(
+    val got = ResumeParse.extractInterests(Seq(
       "RESEARCH" -> "My research interests include NLP, vision; and robotics. More text."))
     assert(got === Seq("NLP", "vision", "and robotics"))
-    val bare = ResumeParse.extractInterests(Map(
+    val bare = ResumeParse.extractInterests(Seq(
       "RESEARCH" -> "research areas: ML, and, vision."))
     assert(bare === Seq("ML", "vision"))
   }
@@ -95,7 +121,7 @@ class ResumeParseSpec extends AnyFunSuite {
   test("F14 topic heuristic: TitleCase phrases with tech words, capped at 10") {
     // reference quirk kept: the topic regex greedily absorbs trailing
     // lowercase words (parser.py:295-299)
-    val sec = Map("SKILLS" ->
+    val sec = Seq("SKILLS" ->
       "Worked on Machine Learning and Query Optimization plus Cooking Recipes daily")
     val got = ResumeParse.extractInterests(sec)
     assert(got === Seq("Machine Learning and", "Query Optimization plus"))
