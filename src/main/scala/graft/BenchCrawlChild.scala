@@ -13,8 +13,9 @@ import graft.synth.SyntheticSite.SiteConfig
   * measured N→4N efficiency). Separate JVMs also keep the two measurements
   * free of each other's heap/codegen state.
   *
-  * Args: cores universities deptsPerU facultyPerDept waveSeconds runs
-  * Prints exactly one line: `RATE <urlsPerSec> <urls>`.
+  * Args: cores universities deptsPerU facultyPerDept waveSeconds runs salt
+  * Prints `RATE <urlsPerSec> <urls> busy=<f> gc=<f>` and (wide child only)
+  * `CEIL <pagesPerSec@2threads> <pagesPerSec@cores-threads>`.
   */
 object BenchCrawlChild {
   def main(args: Array[String]): Unit = {
@@ -23,7 +24,11 @@ object BenchCrawlChild {
       universities = args(1).toInt, deptsPerU = args(2).toInt,
       facultyPerDept = args(3).toInt, errorFraction = 0.05, pubsPerFaculty = 12,
       bioWords = 250) // ~2 KB prose per profile: realistic page weight
-    val crawl = CrawlConfig(waveSeconds = args(4).toDouble, saltShards = 4)
+    // saltShards=1 by default: the bench corpus is host-uniform, so the skew
+    // pre-prune's extra window pass is pure overhead here (the salted path's
+    // exactness and skew behavior are covered by FrontierSpec/CrawlDepth2Spec)
+    val crawl = CrawlConfig(waveSeconds = args(4).toDouble,
+      saltShards = if (args.length > 6) args(6).toInt else 1)
     val runs  = args(5).toInt
 
     // GRAFT_MASTER overrides the master — e.g. "local-cluster[2,1,6144]"
@@ -36,6 +41,11 @@ object BenchCrawlChild {
       .appName(s"graft-bench-child-$cores")
       .config("spark.sql.shuffle.partitions", (cores * 2).toString) // 2x cores: stage tails overlap
       .config("spark.sql.adaptive.enabled", "true")
+      // local mode: shuffle files hit the page cache and the cache is heap —
+      // lz4/columnar compression is pure CPU+bandwidth overhead here (on a
+      // real cluster with network shuffle + memory pressure, leave them on)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -74,6 +84,55 @@ object BenchCrawlChild {
       rate
     }.maxBy(_._1)
     println(f"RATE ${best._1}%.2f ${best._2} busy=${best._3}%.2f gc=${best._4}%.2f")
+    // workload-matched scaling ceiling (only meaningful in the wide child):
+    // the per-page fetch work itself (HTML render + parse, zero Spark) run on
+    // plain threads at 2 vs `cores` under the same pinning. On one box this
+    // bounds ANY engine's thread-scaling for this workload — memory bandwidth
+    // and allocator contention are properties of the box, not the engine; a
+    // real 4N-node cluster adds them linearly.
+    if (cores > 2) {
+      val c2 = workloadPagesPerSec(2)
+      val cN = workloadPagesPerSec(cores)
+      println(f"CEIL ${c2}%.1f ${cN}%.1f")
+    }
     spark.stop()
+  }
+
+  /** Pages/sec of the raw fetch workload (render+parse of realistic profile
+    * pages) on `threads` plain JVM threads — no Spark, no shuffle, no driver.
+    * The source corpus is 16k distinct pages (~10× LLC) so the probe STREAMS
+    * from DRAM like the real fetch stage does over its 444k pages — a small
+    * cache-resident working set would overstate the box's thread-scaling
+    * ceiling for this workload.
+    */
+  private def workloadPagesPerSec(threads: Int): Double = {
+    val cfg = SiteConfig(universities = 256, deptsPerU = 1, facultyPerDept = 64,
+      errorFraction = 0.0, pubsPerFaculty = 12, bioWords = 250)
+    val docs = (0 until 256).flatMap(u => (0 until 64).flatMap(k =>
+      SyntheticSite.fetch(cfg)(SyntheticSite.profileUrl(u, 0, k)))).toArray
+    val perThread = 40000 / threads
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { t =>
+        val th = new Thread(() => {
+          var i = 0
+          var acc = 0
+          while (i < perThread) {
+            val d = docs((t + i) % docs.length)
+            // the fetch stage's per-page CPU: render (stands in for the wire
+            // payload) + parse back to spans
+            val html = graft.extract.HtmlSpans.render(d.doc_id, d.spans)
+            acc += graft.extract.HtmlSpans.parse(html).length
+            i += 1
+          }
+          if (acc == -1) print("")
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      (perThread.toDouble * threads) / ((System.nanoTime() - t0) / 1e9)
+    }
+    run() // warm
+    (1 to 3).map(_ => run()).max // best-of-3: box tenancy varies minute to minute
   }
 }

@@ -40,6 +40,7 @@ object SparkEntry {
     "q_quality_score"    -> ((s, d) => TextOps.qualityScore(s, d)),
     "q_fingerprint"      -> ((s, d) => TextOps.fingerprint(s, d)),
     "q_tfidf_cosine"     -> ((s, d) => TextOps.tfidfCosine(s, d)),
+    "q_text_search"      -> ((s, d) => relational.InvertedIndex.textSearch(s, d)),
     // dedup family
     "q_dedup_exact"      -> ((s, d) => Dedup.dedupExact(s, d)),
     "q_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -83,6 +84,7 @@ object SparkEntry {
     "q_quality_score"    -> TextOps.qualityScoreSql,
     "q_fingerprint"      -> TextOps.fingerprintSql,
     "q_tfidf_cosine"     -> TextOps.tfidfCosineSql,
+    "q_text_search"      -> relational.InvertedIndex.textSearchSql,
     "q_dedup_exact"      -> Dedup.dedupExactSql,
     "q_ngram_jaccard"    -> Dedup.ngramJaccardSql,
     "q_cosine_topk"      -> Ann.cosineTopkSql,

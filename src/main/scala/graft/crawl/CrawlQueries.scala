@@ -1,6 +1,6 @@
 package graft.crawl
 
-import graft.frontier.{PartitionedBloom, UrlSeen, WaveSelector}
+import graft.frontier.{BloomTable, UrlSeen, WaveSelector}
 import graft.synth.SyntheticSite
 import graft.synth.SyntheticSite.SiteConfig
 import graft.urls.Urls
@@ -65,16 +65,18 @@ object CrawlQueries {
       |WHERE rk <= 3""".stripMargin
 
   /** URL-seen filter (G4): seen = even order keys, candidates = all keys; the
-    * partitioned Bloom fast path + exact anti-join must return exactly the
+    * shard-local Bloom fast path + exact anti-join must return exactly the
     * odd keys (Bloom false positives rescued by the join — exactness is the
-    * contract, so the oracle is plain SQL).
+    * contract, so the oracle is plain SQL). Uses the distributed BloomTable
+    * path — the residency model that carries to 10^10 keys.
     */
   def bloomAntijoin(spark: SparkSession, dir: String): DataFrame = {
     val all = orders(spark, dir).select(col("o_orderkey").as("url_hash"))
     val seen = all.filter(pmod(col("url_hash"), lit(2)) === 0)
-    val bloom = PartitionedBloom.build(seen, nShards = 8,
+    val blooms = BloomTable.fromHashes(seen, nShards = 8,
       expectedTotal = 1L << 16, fpp = 0.03)
-    UrlSeen.filterUnseen(all, seen, bloom).select(col("url_hash"))
+    UrlSeen.filterUnseenSharded(all, seen, blooms, nShards = 8)
+      .select(col("url_hash"))
   }
 
   val bloomAntijoinSql: String =

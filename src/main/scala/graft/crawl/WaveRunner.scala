@@ -1,16 +1,15 @@
 package graft.crawl
 
 import graft.extract.SpanExtract
-import graft.frontier.{PartitionedBloom, Robots, UrlSeen, WaveSelector}
+import graft.frontier.{BloomShard, BloomTable, PartitionedBloom, Robots, UrlSeen, WaveSelector}
 import graft.model._
 import graft.synth.SyntheticSite.Seed
 import graft.urls.Urls
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import java.nio.file.{Files, Paths}
 
 // fetch-stage rows (typed — per-row invariants matter here, SURVEY §1.3).
 // Top-level (not nested/private) so Catalyst codegen can reach them.
@@ -66,20 +65,43 @@ object WaveRunner {
       bloomShards: Int = 32,
       bloomExpected: Long = 1L << 20,
       bloomFpp: Double = 0.01,
+      /** URL-seen Bloom residency is chosen STATICALLY from the configured
+        * sizing (like Spark's broadcast-join threshold): when the whole
+        * filter (≈ 1.2·bloomExpected bytes at 1% fpp) fits under this bound
+        * it is broadcast and probed row-locally — no extra shuffle; above it
+        * the filter lives as a shard TABLE co-partitioned with candidates
+        * and probed shard-locally (the 10^10 path: a 12 GB filter must never
+        * exist on the driver or as one broadcast). Set to 0 to force the
+        * sharded path regardless of sizing (tests do).
+        */
+      bloomBroadcastMaxBytes: Long = 256L << 20,
       snapshotDir: Option[String] = None, // Some(dir) = committed, resumable waves
       hostWhitelist: Option[Seq[String]] = None // default: seed hosts
-  )
+  ) {
+    /** Conservative whole-filter size estimate from the configured sizing. */
+    def bloomBytesEstimate: Long =
+      (bloomExpected * math.ceil(
+        -math.log(bloomFpp) / (math.log(2) * math.log(2))).toLong) / 8 + 64 * bloomShards
+    def bloomBroadcastable: Boolean = bloomBytesEstimate <= bloomBroadcastMaxBytes
+  }
 
   final case class CrawlResult(
       frontier: DataFrame,
       seen: DataFrame,       // url_hash, url
       docs: DataFrame,       // url, urlHash, host, depth, wave, spans
-      crawlOrder: DataFrame, // seq, wave, host, host_rank, url
+      private val orderThunk: () => DataFrame,
       metrics: DataFrame,    // wave, host, fetched, errors, fetchMsTotal, urlsEnqueued
       waves: Int,
       fetches: Long,         // total attempted fetches (= crawlOrder row count)
       cached: Seq[DataFrame] // per-wave caches backing docs/order in memory mode
   ) {
+    /** Global crawl order (seq, wave, host, host_rank, url). Lazy: deriving
+      * the seq offsets runs one small driver-side aggregate over the metrics
+      * views, deferred so crawls that never read the ordering (the throughput
+      * bench) don't pay that job inside their timed window.
+      */
+    lazy val crawlOrder: DataFrame = orderThunk()
+
     /** Unpersist the per-wave caches this result's DataFrames are views over.
       * Call when done with the result — in-JVM crawl reruns otherwise
       * accumulate cached blocks until the block manager thrashes (measured:
@@ -110,11 +132,9 @@ object WaveRunner {
     val frontier0 = seedEntries.toDS().toDF().repartition(P, col("urlHash"))
     val seen0 = frontier0.select(col("urlHash").as("url_hash"), col("url"))
       .repartition(P, col("url_hash"))
-    val bloom = PartitionedBloom.empty(cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp)
-    seedEntries.foreach(e => bloom.put(e.urlHash))
     val whitelist = cfg.hostWhitelist.getOrElse(
       seeds.map(s => Urls.hostOf(Urls.normalize(s.url))).distinct)
-    runLoop(spark, frontier0, seen0, bloom, startWave = 0, Nil, whitelist, fetcher, rules, cfg)
+    runLoop(spark, frontier0, seen0, startWave = 0, Nil, whitelist, fetcher, rules, cfg)
   }
 
   /** Resume a snapshot-mode crawl from its last committed wave: restore
@@ -133,39 +153,37 @@ object WaveRunner {
     import spark.implicits._
     val dir = cfg.snapshotDir.getOrElse(
       throw new IllegalArgumentException("resume requires cfg.snapshotDir"))
-    val committed = listCommitted(dir)
+    val P     = shufflePartitions(spark)
+    val store = new ParquetSnapshotStore(spark, dir, P)
+    val committed = store.listCommitted()
     if (committed.isEmpty) return run(spark, seeds, fetcher, rules, cfg)
 
-    val P     = shufflePartitions(spark)
     val last  = committed.max
-    val wdirs = committed.sorted.map(w => f"$dir/wave=$w%05d")
-    val frontier = spark.read.parquet(f"$dir/wave=$last%05d/frontier")
+    val waves = committed.sorted
+    val frontier = store.readFrontier(last)
       .repartition(P, col("urlHash"))
     val seedSeen = seeds
       .map { s => val u = Urls.normalize(s.url); (Urls.urlHash64(u), u) }
       .toDF("url_hash", "url")
-    val seen = wdirs.map(d => spark.read.parquet(s"$d/seen_delta"))
+    val seen = waves.map(w => store.readDelta(w, "seen_delta"))
       .foldLeft(seedSeen)(_ unionByName _)
       .repartition(P, col("url_hash"))
-    val bloom = PartitionedBloom.build(
-      seen.select(col("url_hash")), cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp)
     val whitelist = cfg.hostWhitelist.getOrElse(
       seeds.map(s => Urls.hostOf(Urls.normalize(s.url))).distinct)
-    runLoop(spark, frontier, seen, bloom, last + 1, wdirs, whitelist, fetcher, rules, cfg)
+    runLoop(spark, frontier, seen, last + 1, waves, whitelist, fetcher, rules, cfg)
   }
 
   /** The wave loop (shared by cold start and resume).
     *
-    * @param committedDirs snapshot dirs of already-committed waves, whose
-    *                      deltas are stitched into the returned result
+    * @param committedWaves already-committed wave ids, whose deltas are
+    *                       stitched into the returned result
     */
   private def runLoop(
       spark: SparkSession,
       frontier0: DataFrame,
       seen0: DataFrame,
-      bloom: PartitionedBloom,
       startWave: Int,
-      committedDirs: Seq[String],
+      committedWaves: Seq[Int],
       whitelist: Seq[String],
       fetcher: String => Option[SpanDoc],
       rules: Seq[RobotsRule],
@@ -176,6 +194,31 @@ object WaveRunner {
 
     var frontier = frontier0.persist(StorageLevel.MEMORY_AND_DISK)
     var seen     = seen0.persist(StorageLevel.MEMORY_AND_DISK)
+    // URL-seen Bloom state, residency chosen statically from the configured
+    // sizing (cfg.bloomBroadcastable, like Spark's broadcast-join threshold):
+    //  - broadcast regime (filter fits the bound): a driver PartitionedBloom,
+    //    re-broadcast per wave, probed row-locally — no extra shuffle. The
+    //    driver object is BOUNDED BY CONFIG, it does not grow with URL count.
+    //  - sharded regime (the 10^10 path): a Dataset[BloomShard] living on
+    //    executors, probed via shard-local cogroup — nothing whole-filter
+    //    ever exists in one place. LAZY localCheckpoint, not persist: like
+    //    frontier/seen this is iterative state — a persist caches data but
+    //    keeps the logical plan, and the bloom plan references ITSELF twice
+    //    per wave (probe + merge), so un-truncated lineage grows
+    //    exponentially (measured: OOM building plan strings by wave ~6); the
+    //    totalKeys action is what materializes the checkpoint — no extra job.
+    val bloomBroadcast = cfg.bloomBroadcastable
+    var bloomDriver: PartitionedBloom    = null
+    var bloomTable: Dataset[BloomShard]  = null
+    var seenTotal = 0L
+    if (bloomBroadcast) {
+      bloomDriver = PartitionedBloom.build(seen0.select(col("url_hash")),
+        cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp)
+    } else {
+      bloomTable = BloomTable.fromHashes(seen0.select(col("url_hash")),
+        cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp).localCheckpoint(false)
+      seenTotal = BloomTable.totalKeys(bloomTable)
+    }
 
     val rulesDF = Robots.rulesDF(spark,
       if (rules.nonEmpty) rules else Seq(RobotsRule("__none__", Nil, Robots.DefaultCrawlDelayS)))
@@ -184,22 +227,31 @@ object WaveRunner {
       whitelist.toDF("host")
     }
 
+    // snapshot-mode table store (G10) — the engine speaks only to WaveStore;
+    // a real Iceberg/Delta catalog drops in behind the trait
+    val store: Option[WaveStore] =
+      cfg.snapshotDir.map(d => new ParquetSnapshotStore(spark, d, P))
+
     val docsDeltas    = Seq.newBuilder[DataFrame]
     val orderDeltas   = Seq.newBuilder[DataFrame]
     val metricsDeltas = Seq.newBuilder[DataFrame]
     val cached        = Seq.newBuilder[DataFrame]
-    committedDirs.foreach { d =>
-      docsDeltas += spark.read.parquet(s"$d/docs_delta")
-      orderDeltas += spark.read.parquet(s"$d/order_delta")
-      metricsDeltas += spark.read.parquet(s"$d/metrics_delta")
+    committedWaves.foreach { w =>
+      docsDeltas += store.get.readDelta(w, "docs_delta")
+      orderDeltas += store.get.readDelta(w, "order_delta")
+      metricsDeltas += store.get.readDelta(w, "metrics_delta")
     }
 
     val debug = sys.env.contains("GRAFT_CRAWL_DEBUG")
+    var lastMark = System.nanoTime()
     def phase[T](name: String, wave: Int)(body: => T): T = {
       val t0 = System.nanoTime()
+      val gap = (t0 - lastMark) / 1e6
       val r  = body
+      lastMark = System.nanoTime()
       if (debug) System.err.println(
-        f"[crawl-debug] wave=$wave $name%-18s ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+        f"[crawl-debug] wave=$wave $name%-18s ${(lastMark - t0) / 1e6}%.0f ms" +
+          f" (gap $gap%.0f ms)")
       r
     }
 
@@ -267,10 +319,14 @@ object WaveRunner {
           .select(col("parent_url"), col("parent_depth"), col("parent_rank"),
             col("lnk.url").as("raw_url"), col("lnk.rank").as("link_rank"))
         val candidates = links
+          // depth guard FIRST: at the leaf wave every link dies here, and the
+          // canonicalize/host UDFs are the expensive per-link work — filter
+          // before computing them, not after
+          .withColumn("depth", col("parent_depth") + 1)
+          .filter(col("depth") <= cfg.maxDepth)
           .withColumn("url", Urls.canonicalizeUdf(col("raw_url"), col("parent_url")))
           .withColumn("host", Urls.hostOfUdf(col("url")))
           .withColumn("url_hash", xxhash64(col("url")))
-          .withColumn("depth", col("parent_depth") + 1)
           // first-discovery ordering encodes (parent_rank, link_rank) into one
           // long: rank = parent*RankBase + link. The guard fails LOUDLY on a
           // page with ≥ RankBase links (silent collision would corrupt the
@@ -283,7 +339,6 @@ object WaveRunner {
               .otherwise(raise_error(concat(
                 lit(s"page has >= $RankBase link spans (url="), col("parent_url"),
                 lit("); discoveredRank encoding cannot order them")))))
-          .filter(col("depth") <= cfg.maxDepth)
           // whitelist as a broadcast SEMI JOIN, not an isInCollection literal:
           // a large host list inlined into codegen recompiles every wave (and
           // a real crawl's whitelist is millions of hosts — join-shaped)
@@ -294,16 +349,43 @@ object WaveRunner {
             col("depth"), col("parent_url"))).as("c"))
           .select(col("url_hash"), col("c.*"))
 
-        // -- URL-seen: Bloom fast path + exact anti-join (G4).
-        // The Bloom delta build doubles as the materializing action for the
-        // unseen cache AND supplies the row count — one job instead of two.
-        val unseen = UrlSeen.filterUnseen(candidates, seen, bloom)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        // -- URL-seen: shard-local Bloom fast path + exact anti-join (G4).
+        // The merged bloom table's key-total aggregate doubles as the
+        // materializing action for the unseen cache AND supplies the enqueued
+        // count — one job instead of three. Built inside `buildBloom` so the
+        // memory-mode commit can run it CONCURRENTLY with the frontier/seen
+        // checkpoints: the lazy localCheckpoint call compiles the typed
+        // merge plan eagerly on the driver (measured 1.5-5 s/wave), and run
+        // serially that compile idles every executor — overlapped, it hides
+        // under the checkpoint jobs.
+        val unseen =
+          (if (bloomBroadcast)
+            UrlSeen.filterUnseen(candidates, seen, bloomDriver)
+          else
+            UrlSeen.filterUnseenSharded(candidates, seen, bloomTable, cfg.bloomShards))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         val seenDelta = unseen.select(col("url_hash"), col("url"))
-        val (bloomDelta, unseenCount) = phase("discover+seen", wave) {
-          PartitionedBloom.buildWithCount(seenDelta.select(col("url_hash")),
-            cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp)
-        }
+        // buildBloom runs in a Future (memory mode) — it only READS the state
+        // vars and stashes the wave's update in the pending slots; the main
+        // thread applies them after Await (the join is the memory barrier)
+        var pendingDriverDelta: PartitionedBloom   = null
+        var pendingTable: Dataset[BloomShard]      = null
+        val bloomTableNow  = bloomTable
+        def buildBloom(): Long =
+          if (bloomBroadcast) {
+            val (delta, n) = PartitionedBloom.buildWithCount(
+              seenDelta.select(col("url_hash")),
+              cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp)
+            pendingDriverDelta = delta
+            n
+          } else {
+            val bloomDelta = BloomTable.fromHashes(seenDelta.select(col("url_hash")),
+              cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp)
+            val nb = BloomTable.merge(bloomTableNow, bloomDelta)
+              .localCheckpoint(false) // lazy: materialized by the totalKeys action
+            pendingTable = nb
+            BloomTable.totalKeys(nb) - seenTotal
+          }
 
         val newEntries = unseen.select(
           col("url"),
@@ -335,58 +417,75 @@ object WaveRunner {
         val docsDelta = fetched.filter(col("ok"))
           .select(col("url"), col("urlHash"), col("host"), col("depth"), col("wave"), col("spans"))
         val orderDelta = fetched.select(col("wave"), col("host"), col("host_rank"), col("url"))
-        val metricsDelta = fetched.groupBy(col("wave"), col("host")).agg(
-          sum(when(col("ok"), 1L).otherwise(0L)).as("fetched"),
-          sum(when(col("ok"), 0L).otherwise(1L)).as("errors"),
-          sum(col("fetchMs")).as("fetchMsTotal"))
-          .withColumn("urlsEnqueued", lit(unseenCount))
+        def mkMetricsDelta(unseenCount: Long) =
+          fetched.groupBy(col("wave"), col("host")).agg(
+            sum(when(col("ok"), 1L).otherwise(0L)).as("fetched"),
+            sum(when(col("ok"), 0L).otherwise(1L)).as("errors"),
+            sum(col("fetchMs")).as("fetchMsTotal"))
+            .withColumn("urlsEnqueued", lit(unseenCount))
 
-        // -- commit (G10): snapshot dir (resumable) or localCheckpoint
-        cfg.snapshotDir match {
-          case Some(dir) =>
-            val wdir = f"$dir/wave=$wave%05d"
-            newFrontier.write.mode("overwrite").parquet(s"$wdir/frontier")
-            seenDelta.write.mode("overwrite").parquet(s"$wdir/seen_delta")
-            docsDelta.write.mode("overwrite").parquet(s"$wdir/docs_delta")
-            orderDelta.write.mode("overwrite").parquet(s"$wdir/order_delta")
-            metricsDelta.write.mode("overwrite").parquet(s"$wdir/metrics_delta")
-            writeManifest(spark, wdir, wave, P)
-            Files.writeString(Paths.get(s"$wdir/_COMMITTED"), "1")
-            val f2 = spark.read.parquet(s"$wdir/frontier").repartition(P, col("urlHash"))
+        // -- commit (G10): snapshot store (resumable) or localCheckpoint
+        val unseenCount = store match {
+          case Some(st) =>
+            val n = phase("discover+seen", wave) { buildBloom() }
+            val metricsDelta = mkMetricsDelta(n)
+            st.commitWave(wave, newFrontier, seenDelta, docsDelta, orderDelta,
+              metricsDelta)
+            val f2 = st.readFrontier(wave).repartition(P, col("urlHash"))
               .persist(StorageLevel.MEMORY_AND_DISK)
             val s2 = newSeen.localCheckpoint(true)
             frontier.unpersist(); seen.unpersist()
             frontier = f2; seen = s2
-            docsDeltas += spark.read.parquet(s"$wdir/docs_delta")
-            orderDeltas += spark.read.parquet(s"$wdir/order_delta")
-            metricsDeltas += spark.read.parquet(s"$wdir/metrics_delta")
+            docsDeltas += st.readDelta(wave, "docs_delta")
+            orderDeltas += st.readDelta(wave, "order_delta")
+            metricsDeltas += st.readDelta(wave, "metrics_delta")
             unseen.unpersist(); fetched.unpersist()
-            ()
+            n
           case None =>
             // memory mode: deltas stay as views over the persisted `fetched`/
             // `unseen` caches, which live as long as the result does — no
             // per-wave checkpoint jobs and no final re-materialization of the
             // span data; only the iterative frontier/seen need lineage cuts.
-            // The two checkpoints run as CONCURRENT jobs — they are
-            // independent, and overlapping them fills each other's stage
-            // tails (busy-fraction instrumentation showed 35% idle cores).
+            // The checkpoints AND the bloom build run as THREE concurrent
+            // tasks: the jobs are independent (all three first-compute the
+            // shared `unseen` cache, which the block manager serializes
+            // per-partition), overlapping fills stage tails AND hides the
+            // bloom plan's driver-side compile under executor work.
             import scala.concurrent.{Await, Future}
             import scala.concurrent.duration.Duration
             import scala.concurrent.ExecutionContext.Implicits.global
-            val (f2, s2) = phase("state-ckpt", wave) {
+            val seenNow = seen
+            val (f2, s2, n) = phase("state-ckpt+bloom", wave) {
               val ff = Future { newFrontier.localCheckpoint(true) }
-              val sf = Future { newSeen.localCheckpoint(true) }
-              (Await.result(ff, Duration.Inf), Await.result(sf, Duration.Inf))
+              val bf = Future { buildBloom() }
+              // seen only changes when the wave discovered something: chain
+              // its checkpoint on the bloom future's count and skip the whole
+              // 444k-row rewrite on leaf waves (bf materializes `unseen`, so
+              // a started sf reuses the cache rather than recomputing)
+              val sf = bf.flatMap { n =>
+                if (n > 0L) Future { newSeen.localCheckpoint(true) }
+                else Future.successful(seenNow)
+              }
+              (Await.result(ff, Duration.Inf), Await.result(sf, Duration.Inf),
+                Await.result(bf, Duration.Inf))
             }
-            frontier.unpersist(); seen.unpersist()
+            frontier.unpersist()
+            if (!(s2 eq seenNow)) seen.unpersist()
             frontier = f2; seen = s2
             docsDeltas += docsDelta
             orderDeltas += orderDelta
-            metricsDeltas += metricsDelta
+            metricsDeltas += mkMetricsDelta(n)
             cached += fetched; cached += unseen
+            n
         }
-        // bloom delta (already built alongside the unseen materialization)
-        if (unseenCount > 0L) bloom.mergeInPlace(bloomDelta)
+        // apply the wave's bloom update (buildBloom already materialized it)
+        if (bloomBroadcast) {
+          if (unseenCount > 0L) bloomDriver.mergeInPlace(pendingDriverDelta)
+        } else {
+          bloomTable.unpersist()
+          bloomTable = pendingTable
+          seenTotal += unseenCount
+        }
         wave += 1
       }
     }
@@ -406,7 +505,7 @@ object WaveRunner {
     // driver in the same (wave asc, host asc) order the window used, then
     // broadcast-joined back. Hosts are ASCII (URL syntax), so JVM string
     // order here equals Spark's UTF8 binary order.
-    val order = {
+    def order(): DataFrame = {
       import spark.implicits._
       val counts = metrics
         .select(col("wave"), col("host"), (col("fetched") + col("errors")).as("n"))
@@ -421,7 +520,9 @@ object WaveRunner {
         .withColumn("seq", col("__offset") + col("host_rank"))
         .select(col("seq"), col("wave"), col("host"), col("host_rank"), col("url"))
     }
-    CrawlResult(frontier, seen, docs, order, metrics, wave, totalFetches, cached.result())
+    if (!bloomBroadcast) cached += bloomTable.toDF() // released with the result
+    CrawlResult(frontier, seen, docs, () => order(), metrics, wave, totalFetches,
+      cached.result())
   }
 
   private def shufflePartitions(spark: SparkSession): Int =
@@ -433,40 +534,4 @@ object WaveRunner {
         org.apache.spark.sql.types.StructType.fromDDL(emptySchema))
     else dfs.reduce(_ unionByName _)
 
-  /** Iceberg-style commit manifest: wave id, input snapshot, and per-partition
-    * lineage (logical hash partition of the frontier → row count) —
-    * BASELINE.json: "per-partition lineage and checkpointed resumability".
-    */
-  private def writeManifest(spark: SparkSession, wdir: String, wave: Int, p: Int): Unit = {
-    val parts = spark.read.parquet(s"$wdir/frontier")
-      .groupBy(pmod(col("urlHash"), lit(p)).as("pt")).count()
-      .collect().sortBy(_.getLong(0))
-      .map(r => s"""{"partition":${r.getLong(0)},"rows":${r.getLong(1)}}""")
-      .mkString("[", ",", "]")
-    val json =
-      s"""{"wave":$wave,"inputSnapshot":${wave - 1},"partitions":$parts,"format":"parquet-v1"}"""
-    Files.writeString(Paths.get(s"$wdir/manifest.json"), json)
-  }
-
-  private def listCommitted(dir: String): Seq[Int] = {
-    val d = new java.io.File(dir)
-    if (!d.exists()) Nil
-    else {
-      val files = d.listFiles()
-      if (files == null)
-        throw new IllegalStateException(
-          s"snapshot dir $dir exists but is not listable (not a directory, or IO error)")
-      files.toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("wave=") &&
-          new java.io.File(f, "_COMMITTED").exists())
-        .map { f =>
-          try f.getName.stripPrefix("wave=").toInt
-          catch {
-            case _: NumberFormatException => throw new IllegalStateException(
-              s"malformed snapshot directory name '${f.getName}' in $dir " +
-                "(expected wave=<int>)")
-          }
-        }
-    }
-  }
 }

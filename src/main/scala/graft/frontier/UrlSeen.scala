@@ -1,7 +1,8 @@
 package graft.frontier
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BooleanType
 import org.apache.spark.util.sketch.BloomFilter
 
 /** URL-seen set: partitioned Bloom pre-filter + exact anti-join
@@ -20,9 +21,12 @@ import org.apache.spark.util.sketch.BloomFilter
   * Scale math (10^10 URLs, the north-rule frontier): 1% FPP needs ~9.6
   * bits/key → ~12 GB of Bloom total. Sharded by `pmod(url_hash, nShards)`
   * into 1024 shards that is ~12 MB/shard; executors probing a co-partitioned
-  * candidate stream touch exactly one shard per partition. In this sandbox
-  * the shard array is driver-held and broadcast whole (MB-scale at test SF);
-  * the sharding scheme — not the residency — is what carries to 10^10.
+  * candidate stream touch exactly one shard per partition.
+  *
+  * THIS class is the driver-resident/broadcast form — convenient below
+  * broadcast scale, a hard OOM at 10^10. The crawl engine holds the filter
+  * as a [[BloomTable]] (`Dataset[BloomShard]`) instead: built, merged, and
+  * probed shard-locally on executors, so residency carries to 10^10.
   */
 final class PartitionedBloom(val nShards: Int, val shards: Array[BloomFilter])
     extends Serializable {
@@ -84,12 +88,123 @@ object PartitionedBloom {
   }
 }
 
+/** One shard of the distributed URL-seen Bloom: the serialized filter for one
+  * hash range plus its (cumulative) key count. Top-level so Catalyst encoders
+  * reach it.
+  */
+final case class BloomShard(shard: Int, n: Long, bytes: Array[Byte])
+
+/** The URL-seen Bloom as a TABLE of shards — the 10^10 residency model.
+  *
+  * [[PartitionedBloom]] (above) holds every shard in one driver object and
+  * broadcasts the whole filter; at 10^10 keys / 1% FPP that is a ~12 GB
+  * driver allocation and a ~12 GB broadcast per wave — a hard OOM, not a
+  * slowdown. Here the filter lives as a `Dataset[BloomShard]` keyed by
+  * `shard = pmod(url_hash, nShards)`: builds and merges are `groupByKey`
+  * jobs over the hash ranges, probes are a cogroup that co-partitions the
+  * candidate stream with its shards, so each executor ever holds only the
+  * shards of its own hash range (~12 MB each at 1024 shards). Nothing
+  * driver-side grows with total URL count.
+  *
+  * All shards are created with identical (perShard, fpp) sizing — fixed at
+  * crawl start — so wave deltas stay merge-compatible.
+  */
+object BloomTable {
+
+  import org.apache.spark.sql.expressions.Aggregator
+  import org.apache.spark.sql.Encoder
+
+  private def perShard(expectedTotal: Long, nShards: Int): Long =
+    math.max(64L, expectedTotal / nShards)
+
+  private def serialize(bf: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  private def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  def shardOf(hash: Long, nShards: Int): Int =
+    (((hash % nShards) + nShards) % nShards).toInt
+
+  /** Builds one shard's Bloom from its url hashes. A relational UDAF, not a
+    * typed `groupByKey.mapGroups`: the typed form plants object-serde nodes
+    * and per-wave-cleaned closures in the plan, and its Catalyst compile
+    * (analysis+optimize+toRdd) measured 1.5-5 s per crawl wave — driver-only
+    * time that idles every executor. The UDAF keeps the plan one ordinary
+    * aggregate.
+    */
+  private final class BloomBuildAgg(cap: Long, fpp: Double)
+      extends Aggregator[Long, BloomFilter, Array[Byte]] {
+    def zero: BloomFilter = BloomFilter.create(cap, fpp)
+    def reduce(b: BloomFilter, h: Long): BloomFilter = { b.putLong(h); b }
+    def merge(a: BloomFilter, b: BloomFilter): BloomFilter = { a.mergeInPlace(b); a }
+    def finish(b: BloomFilter): Array[Byte] = serialize(b)
+    def bufferEncoder: Encoder[BloomFilter] = Encoders.javaSerialization[BloomFilter]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Merges already-serialized shard filters (same sizing by construction). */
+  private final class BloomMergeAgg
+      extends Aggregator[Array[Byte], BloomFilter, Array[Byte]] {
+    def zero: BloomFilter = null
+    def reduce(b: BloomFilter, bytes: Array[Byte]): BloomFilter =
+      if (b == null) deserialize(bytes)
+      else { b.mergeInPlace(deserialize(bytes)); b }
+    def merge(a: BloomFilter, b: BloomFilter): BloomFilter =
+      if (a == null) b else if (b == null) a else { a.mergeInPlace(b); a }
+    def finish(b: BloomFilter): Array[Byte] = serialize(b)
+    def bufferEncoder: Encoder[BloomFilter] = Encoders.javaSerialization[BloomFilter]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Build shard filters from a DataFrame of `url_hash: long`, fully
+    * distributed: each shard is assembled inside its hash-range group and
+    * stays there — nothing is collected.
+    */
+  def fromHashes(hashes: DataFrame, nShards: Int, expectedTotal: Long,
+      fpp: Double): Dataset[BloomShard] = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val cap   = perShard(expectedTotal, nShards)
+    val build = udaf(new BloomBuildAgg(cap, fpp), Encoders.scalaLong)
+    hashes.select(col("url_hash").cast("long").as("h"))
+      .groupBy(pmod(col("h"), lit(nShards.toLong)).cast("int").as("shard"))
+      .agg(count(lit(1)).as("n"), build(col("h")).as("bytes"))
+      .select(col("shard"), col("n"), col("bytes"))
+      .as[BloomShard]
+  }
+
+  /** Merge two same-sizing shard tables (≤2 rows per shard in, 1 out). */
+  def merge(a: Dataset[BloomShard], b: Dataset[BloomShard]): Dataset[BloomShard] = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val mergeU = udaf(new BloomMergeAgg, Encoders.BINARY)
+    a.toDF().union(b.toDF())
+      .groupBy(col("shard"))
+      .agg(sum(col("n")).as("n"), mergeU(col("bytes")).as("bytes"))
+      .select(col("shard"), col("n"), col("bytes"))
+      .as[BloomShard]
+  }
+
+  /** Total keys inserted across shards (one tiny job over ≤nShards rows). */
+  def totalKeys(blooms: Dataset[BloomShard]): Long =
+    blooms.select(coalesce(sum(col("n")), lit(0L)))
+      .as(Encoders.scalaLong).first()
+}
+
 object UrlSeen {
 
   /** Split `candidates` (must carry `url_hash`) into definitely-unseen rows
     * (Bloom-negative fast path, no join) plus exactly-verified rows
     * (Bloom-positive, rescued by `left_anti` against `seen`). Returns rows of
     * `candidates` whose url_hash is NOT in the seen set — exactly.
+    *
+    * Broadcast-resident variant: fine while the whole filter fits the driver
+    * (small frontiers, standalone queries). The crawl engine uses
+    * [[filterUnseenSharded]], whose residency carries to 10^10.
     *
     * @param seen DataFrame with `url_hash: long`, hash-partitioned upstream
     *             so the anti-join's probe side shuffles minimally.
@@ -101,6 +216,44 @@ object UrlSeen {
     val flagged = candidates.withColumn("__maybe_seen", mightContain(col("url_hash")))
     val fastPath = flagged.filter(!col("__maybe_seen")).drop("__maybe_seen")
     val needExact = flagged.filter(col("__maybe_seen")).drop("__maybe_seen")
+    val rescued = needExact.join(
+      seen.select(col("url_hash")).hint("shuffle_hash"),
+      Seq("url_hash"), "left_anti")
+    fastPath.unionByName(rescued)
+  }
+
+  /** Shard-local variant of [[filterUnseen]]: candidates are co-partitioned
+    * with the [[BloomTable]] shards on `pmod(url_hash, nShards)` and probed
+    * inside the partition (each task deserializes only ITS shards, once per
+    * group — executor residency is O(shards/executor), never O(filter)).
+    * Bloom-negative rows skip the exact anti-join exactly as in the broadcast
+    * variant; the exactness contract is identical.
+    */
+  def filterUnseenSharded(candidates: DataFrame, seen: DataFrame,
+      blooms: Dataset[BloomShard], nShards: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val withShard = candidates.withColumn("__shard",
+      pmod(col("url_hash"), lit(nShards)).cast("int"))
+    val schema   = withShard.schema
+    val hashIdx  = schema.fieldIndex("url_hash")
+    val shardIdx = schema.fieldIndex("__shard")
+    val outSchema = schema.add("__maybe_seen", BooleanType, nullable = false)
+    val candByShard = withShard.as(Encoders.row(schema))
+      .groupByKey(_.getInt(shardIdx))
+    val bloomByShard = blooms.groupByKey(_.shard)
+    val flagged = candByShard.cogroup(bloomByShard) { (_, cands, shards) =>
+      val bf = shards.map(s => BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(s.bytes)))
+        .reduceOption { (x, y) => x.mergeInPlace(y); x }
+      bf match {
+        case None    => cands.map(r => Row.fromSeq(r.toSeq :+ false))
+        case Some(f) => cands.map(r =>
+          Row.fromSeq(r.toSeq :+ f.mightContainLong(r.getLong(hashIdx))))
+      }
+    }(Encoders.row(outSchema))
+    val fastPath  = flagged.filter(!col("__maybe_seen")).drop("__maybe_seen", "__shard")
+    val needExact = flagged.filter(col("__maybe_seen")).drop("__maybe_seen", "__shard")
     val rescued = needExact.join(
       seen.select(col("url_hash")).hint("shuffle_hash"),
       Seq("url_hash"), "left_anti")

@@ -163,6 +163,22 @@ object Star {
     }
     df
   }
+
+  /** Indexed keyword search (the GIN-index analog, `database/schema.sql:65,84`):
+    * probe an inverted index over name + department + interests instead of
+    * substring-scanning every profile. Token-exact AND semantics (the
+    * full-text-search contract), vs [[search]]'s substring OR — at corpus
+    * scale this is the access path; the scan stays only for API parity.
+    */
+  def searchIndexed(profiles: DataFrame, keywords: Seq[String]): DataFrame = {
+    val text = concat_ws(" ", col("name"), col("department_name"),
+      concat_ws(" ", col("research_interests")))
+    val idx = InvertedIndex.postings(
+      profiles.withColumn("__text", text), "faculty_id", col("__text"))
+    profiles.join(
+      InvertedIndex.searchTokens(idx, "faculty_id", keywords).select("faculty_id"),
+      Seq("faculty_id"), "left_semi")
+  }
 }
 
 /** Name splitting shared by star-building (reference `main.py:182-184`). */

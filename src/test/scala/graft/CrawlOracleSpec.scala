@@ -48,6 +48,21 @@ class CrawlOracleSpec extends SparkSpec {
     assert(engineOrder(engine) === oracle.crawlOrder)
   }
 
+  test("forced shard-local bloom residency: ordering, seen, records unchanged") {
+    // bloomBroadcastMaxBytes = 0 forces the Dataset[BloomShard] cogroup path
+    // (the 10^10 residency) through the FULL engine — exactness must hold
+    // identically to the broadcast regime
+    val site = SiteConfig(universities = 2, deptsPerU = 2, facultyPerDept = 5,
+      errorFraction = 0.2)
+    val (seeds, oracle, engine) =
+      runBoth(site, CrawlConfig(bloomBroadcastMaxBytes = 0L))
+    val got = engineOrder(engine).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val exp = oracle.crawlOrder.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got === exp)
+    assert(engine.seen.collect().map(_.getAs[String]("url")).toSet === oracle.seen)
+    assert(engineRecords(spark, engine, seeds) === oracle.records)
+  }
+
   test("single host: URL-seen set and faculty records match exactly") {
     val site = SiteConfig(universities = 1, deptsPerU = 1, facultyPerDept = 6)
     val (seeds, oracle, engine) = runBoth(site)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.frontier.{PartitionedBloom, Robots, UrlSeen, WaveSelector}
+import graft.frontier.{BloomTable, PartitionedBloom, Robots, UrlSeen, WaveSelector}
 import graft.model.RobotsRule
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
@@ -27,6 +27,42 @@ class FrontierSpec extends SparkSpec {
       val got = UrlSeen.filterUnseen(cand, seen, bloom)
         .collect().map(_.getLong(0)).toSet
       assert(got === (candKeys.toSet -- seenKeys.toSet))
+    }
+  }
+
+  test("property: sharded Bloom table probe never drops an unseen key") {
+    // same exactness contract as the broadcast variant, via the distributed
+    // BloomTable path the crawl engine uses (shard-local residency)
+    val gen = for {
+      seenKeys <- Gen.listOf(Gen.chooseNum(-5000L, 5000L)).map(_.distinct)
+      candKeys <- Gen.nonEmptyListOf(Gen.chooseNum(-5000L, 5000L)).map(_.distinct)
+    } yield (seenKeys, candKeys)
+    samples(gen, 8).foreach { case (seenKeys, candKeys) =>
+      val seen = seenKeys.toDF("url_hash")
+      val cand = candKeys.toDF("url_hash")
+      // tiny expectedTotal forces a high FP rate → exercises the rescue path;
+      // empty seen exercises the missing-shard (no bloom) fast path
+      val blooms = BloomTable.fromHashes(seen, nShards = 4, expectedTotal = 64, fpp = 0.5)
+      val got = UrlSeen.filterUnseenSharded(cand, seen, blooms, nShards = 4)
+        .collect().map(_.getLong(0)).toSet
+      assert(got === (candKeys.toSet -- seenKeys.toSet))
+    }
+  }
+
+  test("bloom table: distributed build+merge has no false negatives; counts sum") {
+    val a = BloomTable.fromHashes((0L until 600L).toDF("url_hash"),
+      nShards = 16, expectedTotal = 1 << 14, fpp = 0.01)
+    val b = BloomTable.fromHashes((600L until 1000L).toDF("url_hash"),
+      nShards = 16, expectedTotal = 1 << 14, fpp = 0.01)
+    val merged = BloomTable.merge(a, b)
+    assert(BloomTable.totalKeys(merged) === 1000L)
+    // every inserted key must hit its own shard after the distributed merge
+    val shards = merged.collect().map(s => s.shard ->
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(s.bytes))).toMap
+    (0L until 1000L).foreach { k =>
+      val sh = BloomTable.shardOf(k, 16)
+      assert(shards(sh).mightContainLong(k), s"false negative for $k in shard $sh")
     }
   }
 

@@ -33,6 +33,95 @@ class HtmlSpansSpec extends AnyFunSuite {
     assert(HtmlSpans.parse(HtmlSpans.render("d", spans)).toSeq === spans.toSeq)
   }
 
+  test("hand-written faculty index page (scraper.py:41-55 structures)") {
+    // mirrors the reference's selector targets: .views-row containers,
+    // .field-content h3 with a nested profile anchor, .people-title div text
+    val html =
+      """<!DOCTYPE html>
+        |<html><head><title>Directory</title>
+        |<style>.views-row { margin: 2px }</style>
+        |<script>var tracking = "<div>not content</div>";</script>
+        |</head>
+        |<BODY class="page">
+        |<!-- navigation chrome -->
+        |<div id=nav><a href="/search">Search</a></div>
+        |<div class="views-row">
+        |  <div class='field-content'><h3><a href="/people/jane-doe">Jane Doe</a></h3></div>
+        |  <div class="people-title">Professor of Computer Science</div>
+        |</div>
+        |<div class="views-row">
+        |  <div class='field-content'><h3><a href='/people/bob-roe'>Bob &amp; Roe</a></h3></div>
+        |  <div class="people-title">Associate Professor</div>
+        |</div>
+        |</BODY></html>""".stripMargin
+    val spans = HtmlSpans.parse(html)
+    val kinds = spans.map(s => (s.kind, s.text, s.media_ref)).toSeq
+    assert(kinds === Seq(
+      ("link", "Search", "/search"),
+      ("heading", "Jane Doe", ""),
+      ("link", "Jane Doe", "/people/jane-doe"),
+      ("text", "Professor of Computer Science", ""),
+      ("heading", "Bob & Roe", ""),
+      ("link", "Bob & Roe", "/people/bob-roe"),
+      ("text", "Associate Professor", "")))
+    // document order must be dense and sorted
+    assert(spans.map(_.offset).toSeq === spans.indices.toSeq)
+    // the index-row extractor consumes this directly: heading + nested anchor
+    // + title text per row, exactly the scraper's per-row fields
+  }
+
+  test("hand-written profile page: ul→li vs div→p publication containers") {
+    // scraper.py:142-155 distinguishes a <ul> publications container (li
+    // items) from a <div> container (p items); both must surface as spans
+    val ulPage =
+      """<body><h2>Publications</h2>
+        |<ul class="pub-list">
+        |  <li>Paper One (2019)</li>
+        |  <li>Paper <em>Two</em> (2021)
+        |  <li>Paper Three</li>
+        |</ul></body>""".stripMargin
+    val ulSpans = HtmlSpans.parse(ulPage).filter(_.kind == "listitem").map(_.text)
+    assert(ulSpans.length === 3) // second <li> implicitly closed by the third
+    assert(ulSpans(0) === "Paper One (2019)")
+    assert(ulSpans(1).startsWith("Paper Two (2021)"))
+    val divPage =
+      """<body><h2>Selected Publications</h2>
+        |<div class="publications">
+        |  <p>Alpha Journal, 2018</p>
+        |  <p>Beta Conf, 2020</p>
+        |</div></body>""".stripMargin
+    val divSpans = HtmlSpans.parse(divPage)
+    assert(divSpans.map(_.kind).toSeq === Seq("heading", "text", "text"))
+    assert(divSpans(1).text === "Alpha Journal, 2018")
+  }
+
+  test("attribute forms, numeric entities, images, implicit p-close") {
+    val html = "<div><IMG SRC=/logo.png alt='x'><p>a &#65;&amp;&#x42; b" +
+      "<p>second</p><img src=\"pix/i.jpg\" /></div>"
+    val spans = HtmlSpans.parse(html)
+    assert(spans.map(s => (s.kind, s.text, s.media_ref)).toSeq === Seq(
+      ("media", "", "/logo.png"),
+      ("text", "a A&B b", ""),   // numeric + named entities; implicit close
+      ("text", "second", ""),
+      ("media", "", "pix/i.jpg")))
+  }
+
+  test("nested find_next('div') shape: bio text after a heading (scraper.py:125)") {
+    // profile bio lives in a plain div following the name heading — bare
+    // container text must surface as a text span in document order
+    val html =
+      """<body><div class="profile">
+        |<h1>Dr. Jane Doe</h1>
+        |<div class="bio">Jane works on <b>machine learning</b> and systems.</div>
+        |<div>Contact: jane@example.edu</div>
+        |</div></body>""".stripMargin
+    val spans = HtmlSpans.parse(html)
+    assert(spans.map(s => (s.kind, s.text)).toSeq === Seq(
+      ("heading", "Dr. Jane Doe"),
+      ("text", "Jane works on machine learning and systems."),
+      ("text", "Contact: jane@example.edu")))
+  }
+
   test("htmlFetcher produces identical documents to the direct fetcher") {
     val cfg = SiteConfig(universities = 1, deptsPerU = 1, facultyPerDept = 6,
       errorFraction = 0.3)

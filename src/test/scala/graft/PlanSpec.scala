@@ -64,6 +64,12 @@ class PlanSpec extends SparkSpec {
     assert(firstAgg >= 0 && exchange >= 0, p)
   }
 
+  test("text search: query terms probe the posting table as a broadcast join") {
+    val p = plan(SparkEntry.queries("q_text_search")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "query terms must broadcast-probe")
+    spark.catalog.clearCache()
+  }
+
   test("source gate: no unpartitioned windows in main (single-task funnels)") {
     // Window.orderBy without partitionBy moves EVERY row through one task —
     // the crawl-order seq regression the verdict flagged. Gate the whole main

@@ -86,6 +86,30 @@ class StarSpec extends SparkSpec {
     assert(kw.count() === all) // every synth name starts with "Dr."
   }
 
+  test("indexed keyword search: posting probe agrees with a token-exact scan") {
+    val star = Star.normalize(spark, records, ts)
+    val profiles = Star.facultyProfiles(star).cache()
+    // pick real tokens from one profile's interests
+    val someInterest = profiles.select(explode(col("research_interests")).as("i"))
+      .limit(1).collect().head.getString(0)
+    val terms = someInterest.toLowerCase.split("[^a-z]+")
+      .filter(t => t.nonEmpty && !graft.ops.TextOps.Stopwords.contains(t))
+      .take(2).toSeq
+    assume(terms.nonEmpty)
+    val got = Star.searchIndexed(profiles, terms)
+      .select("faculty_id").collect().map(_.getLong(0)).toSet
+    // brute-force oracle: token-exact AND over the same name+dept+interests text
+    val expected = profiles.collect().filter { r =>
+      val text = (r.getAs[String]("name") + " " + r.getAs[String]("department_name") +
+        " " + r.getSeq[String](r.fieldIndex("research_interests")).mkString(" "))
+        .toLowerCase
+      val toks = "[a-z]+".r.findAllIn(text).toSet
+      terms.forall(toks)
+    }.map(_.getAs[Long]("faculty_id")).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "planted terms must match at least their own profile")
+  }
+
   test("upsert: matched update wins, unmatched keeps, inserts appended (main.py:196-239)") {
     val current = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "bal")
     val updates = Seq((2L, "b", 99.0), (3L, "c", 30.0)).toDF("id", "name", "bal")
