@@ -63,7 +63,8 @@ object Bench {
     * workload thread-scaling ceiling's raw rates at 2 and `cores` threads.
     */
   private final case class ChildResult(rate: Double, urls: Long,
-      pinned: Boolean, ceil: Option[(Double, Double)])
+      pinned: Boolean, ceil: Option[(Double, Double)],
+      ceilSpark: Option[(Double, Double)])
 
   /** Measure one "cluster size" in its own CPU-pinned child JVM (see
     * [[BenchCrawlChild]]): `taskset -c 0..cores-1` makes a local[N] run
@@ -80,7 +81,7 @@ object Bench {
         benchCrawl.saltShards.toString))
       .getOrElse {
         val (rate, urls) = inProcessRate(cpus)
-        ChildResult(rate, urls, pinned = false, ceil = None)
+        ChildResult(rate, urls, pinned = false, ceil = None, ceilSpark = None)
       }
   }
 
@@ -108,11 +109,13 @@ object Bench {
       proc.waitFor()
       out.collectFirst { case l if l.startsWith("RATE ") =>
         val parts = l.split(" ")
-        val ceil = out.collectFirst { case c if c.startsWith("CEIL ") =>
-          val cp2 = c.split(" ")
-          (cp2(1).toDouble, cp2(2).toDouble)
+        def pair(prefix: String) = out.collectFirst {
+          case c if c.startsWith(prefix) =>
+            val cp2 = c.split(" ")
+            (cp2(1).toDouble, cp2(2).toDouble)
         }
-        ChildResult(parts(1).toDouble, parts(2).toLong, pinned = true, ceil)
+        ChildResult(parts(1).toDouble, parts(2).toLong, pinned = true,
+          pair("CEIL "), pair("CEILSPARK "))
       }
     } catch { case _: Throwable => None }
 
@@ -208,13 +211,22 @@ object Bench {
       crawlRate(nCores), crawlRate(n4Cores))
     val n  = Seq(nRuns(0), nRuns(2)).maxBy(_.rate)
     val n4 = Seq(nRuns(1), nRuns(3)).maxBy(_.rate)
-    val rawEff   = (n4.rate / n.rate) / (n4Cores.toDouble / nCores)
-    val ceils    = Seq(nRuns(1), nRuns(3)).flatMap(_.ceil)
-    val ceiling  =
-      if (ceils.nonEmpty)
-        ceils.map { case (c2, cWide) => (cWide / c2) / (n4Cores.toDouble / nCores) }.max
-      else memBandwidthCeiling(nCores, n4Cores)
-    val ceilKind   = if (ceils.nonEmpty) "workload_renderparse_threads" else "membw_probe"
+    val rawEff = (n4.rate / n.rate) / (n4Cores.toDouble / nCores)
+    val wide   = Seq(nRuns(1), nRuns(3))
+    def best(ps: Seq[(Double, Double)]): Option[Double] =
+      if (ps.isEmpty) None
+      else Some(ps.map { case (c2, cW) => (cW / c2) / (n4Cores.toDouble / nCores) }.max)
+    val payloadCeil = best(wide.flatMap(_.ceil))
+    val sparkCeil   = best(wide.flatMap(_.ceilSpark))
+    // grade raw against the TIGHTER bound actually measured; fall back to the
+    // membw probe when the children could not report ceilings
+    val (ceiling, ceilKind) = (payloadCeil, sparkCeil) match {
+      case (Some(p), Some(sp)) =>
+        if (sp < p) (sp, "spark_maponly_fetch") else (p, "workload_renderparse_threads")
+      case (Some(p), None)  => (p, "workload_renderparse_threads")
+      case (None, Some(sp)) => (sp, "spark_maponly_fetch")
+      case _ => (memBandwidthCeiling(nCores, n4Cores), "membw_probe")
+    }
     val normalized = math.min(1.0, rawEff / math.min(1.0, ceiling))
     val pinned     = n.pinned && n4.pinned
 
@@ -228,6 +240,8 @@ object Bench {
         f""""scaling_efficiency_kind":"raw_over_workload_ceiling",""" +
         f""""scaling_efficiency_raw":$rawEff%.3f,""" +
         f""""workload_ceiling":$ceiling%.3f,"ceiling_kind":"$ceilKind",""" +
+        f""""payload_ceiling":${payloadCeil.getOrElse(-1.0)}%.3f,""" +
+        f""""sparkmap_ceiling":${sparkCeil.getOrElse(-1.0)}%.3f,""" +
         f""""n_cores":$nCores,"4n_cores":$n4Cores,"pinned":$pinned}}""")
   }
 }

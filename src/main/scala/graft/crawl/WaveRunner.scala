@@ -1,7 +1,7 @@
 package graft.crawl
 
 import graft.extract.SpanExtract
-import graft.frontier.{BloomShard, BloomTable, PartitionedBloom, Robots, UrlSeen, WaveSelector}
+import graft.frontier.{BloomShard, BloomTable, PartitionedBloom, PartitionedCuckoo, Robots, SeenPreFilter, UrlSeen, WaveSelector}
 import graft.model._
 import graft.synth.SyntheticSite.Seed
 import graft.urls.Urls
@@ -75,6 +75,12 @@ object WaveRunner {
         * sharded path regardless of sizing (tests do).
         */
       bloomBroadcastMaxBytes: Long = 256L << 20,
+      /** Pre-filter family in the broadcast regime: "bloom" (default) or
+        * "cuckoo" (supports deletion, ~0.01% FPP at 16-bit fingerprints —
+        * see [[graft.frontier.CuckooFilter]]). The sharded 10^10 regime is
+        * bloom-backed.
+        */
+      seenFilter: String = "bloom",
       snapshotDir: Option[String] = None, // Some(dir) = committed, resumable waves
       hostWhitelist: Option[Seq[String]] = None // default: seed hosts
   ) {
@@ -208,13 +214,20 @@ object WaveRunner {
     //    exponentially (measured: OOM building plan strings by wave ~6); the
     //    totalKeys action is what materializes the checkpoint — no extra job.
     val bloomBroadcast = cfg.bloomBroadcastable
-    var bloomDriver: PartitionedBloom    = null
+    var bloomDriver: SeenPreFilter       = null
     var bloomTable: Dataset[BloomShard]  = null
     var seenTotal = 0L
     if (bloomBroadcast) {
-      bloomDriver = PartitionedBloom.build(seen0.select(col("url_hash")),
-        cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp)
+      bloomDriver =
+        if (cfg.seenFilter == "cuckoo")
+          PartitionedCuckoo.build(seen0.select(col("url_hash")),
+            cfg.bloomShards, cfg.bloomExpected)
+        else
+          PartitionedBloom.build(seen0.select(col("url_hash")),
+            cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp)
     } else {
+      require(cfg.seenFilter == "bloom",
+        "the sharded (beyond-broadcast) URL-seen regime is bloom-backed")
       bloomTable = BloomTable.fromHashes(seen0.select(col("url_hash")),
         cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp).localCheckpoint(false)
       seenTotal = BloomTable.totalKeys(bloomTable)
@@ -368,14 +381,18 @@ object WaveRunner {
         // buildBloom runs in a Future (memory mode) — it only READS the state
         // vars and stashes the wave's update in the pending slots; the main
         // thread applies them after Await (the join is the memory barrier)
-        var pendingDriverDelta: PartitionedBloom   = null
+        var pendingDriverDelta: SeenPreFilter      = null
         var pendingTable: Dataset[BloomShard]      = null
         val bloomTableNow  = bloomTable
         def buildBloom(): Long =
           if (bloomBroadcast) {
-            val (delta, n) = PartitionedBloom.buildWithCount(
-              seenDelta.select(col("url_hash")),
-              cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp)
+            val (delta, n) =
+              if (cfg.seenFilter == "cuckoo")
+                PartitionedCuckoo.buildWithCount(seenDelta.select(col("url_hash")),
+                  cfg.bloomShards, cfg.bloomExpected)
+              else
+                PartitionedBloom.buildWithCount(seenDelta.select(col("url_hash")),
+                  cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp)
             pendingDriverDelta = delta
             n
           } else {
@@ -480,7 +497,7 @@ object WaveRunner {
         }
         // apply the wave's bloom update (buildBloom already materialized it)
         if (bloomBroadcast) {
-          if (unseenCount > 0L) bloomDriver.mergeInPlace(pendingDriverDelta)
+          if (unseenCount > 0L) bloomDriver.mergeWith(pendingDriverDelta)
         } else {
           bloomTable.unpersist()
           bloomTable = pendingTable

@@ -5,6 +5,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.BooleanType
 import org.apache.spark.util.sketch.BloomFilter
 
+/** Approximate-membership pre-filter contract shared by the Bloom and
+  * Cuckoo URL-seen variants (north rule: "partitioned Bloom/Cuckoo filter").
+  * Only ever a FAST PATH: false positives are rescued by the exact
+  * anti-join; implementations must have no false negatives for inserted keys.
+  */
+trait SeenPreFilter extends Serializable {
+  def mightContain(hash: Long): Boolean
+  /** Merge a same-shape delta built with identical sizing. */
+  def mergeWith(delta: SeenPreFilter): Unit
+}
+
 /** URL-seen set: partitioned Bloom pre-filter + exact anti-join
   * (SURVEY.md §2.8 G4; BASELINE.json: "URL-seen is a partitioned Bloom/Cuckoo
   * filter keyed by canonicalized-URL xxHash64").
@@ -29,7 +40,12 @@ import org.apache.spark.util.sketch.BloomFilter
   * probed shard-locally on executors, so residency carries to 10^10.
   */
 final class PartitionedBloom(val nShards: Int, val shards: Array[BloomFilter])
-    extends Serializable {
+    extends SeenPreFilter {
+  override def mergeWith(delta: SeenPreFilter): Unit = delta match {
+    case b: PartitionedBloom => mergeInPlace(b)
+    case other => throw new IllegalArgumentException(
+      s"cannot merge ${other.getClass.getSimpleName} into PartitionedBloom")
+  }
   def shardOf(hash: Long): Int = (((hash % nShards) + nShards) % nShards).toInt
   def mightContain(hash: Long): Boolean = shards(shardOf(hash)).mightContainLong(hash)
   def put(hash: Long): Unit = { shards(shardOf(hash)).putLong(hash); () }
@@ -209,7 +225,7 @@ object UrlSeen {
     * @param seen DataFrame with `url_hash: long`, hash-partitioned upstream
     *             so the anti-join's probe side shuffles minimally.
     */
-  def filterUnseen(candidates: DataFrame, seen: DataFrame, bloom: PartitionedBloom): DataFrame = {
+  def filterUnseen(candidates: DataFrame, seen: DataFrame, bloom: SeenPreFilter): DataFrame = {
     val spark = candidates.sparkSession
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContain(h))
