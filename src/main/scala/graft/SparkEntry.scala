@@ -49,6 +49,7 @@ object SparkEntry {
     // similarity search
     "q_cosine_topk"      -> ((s, d) => Ann.cosineTopk(s, d)),
     "q_ann_lsh"          -> ((s, d) => Ann.annLshTopk(s, d)),
+    "q_ann_ivf"          -> ((s, d) => Ann.ivfTopk(s, d)),
     "q_embedding_neardup" -> ((s, d) => Ann.embeddingNearDup(s, d)),
     // multimodal plumbing
     "q_media_meta"       -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -63,9 +64,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for hash-keyed / engine-native ops
-    * (q_minhash_lsh, q_simhash_pairs, q_ann_lsh, q_media_decode_stub,
-    * q_crawl_synthetic, q_match_synthetic) → driver records a rows-only check; their exactness
-    * oracles live in the ScalaTest suites.
+    * (q_minhash_lsh, q_simhash_pairs, q_ann_lsh, q_ann_ivf,
+    * q_media_decode_stub, q_crawl_synthetic, q_match_synthetic) → driver
+    * records a rows-only check; their exactness oracles live in the ScalaTest
+    * suites (e.g. full-probe IVF == exact brute force).
     */
   def oracleSql: Map[String, String] = Map(
     "q_flagship_agg"     -> StarQueries.flagshipAggSql,

@@ -89,6 +89,95 @@ object Ann {
       .limit(k)
   }
 
+  // ---- IVF (inverted-file) ANN ----
+
+  /** Deterministic Lloyd k-means on a driver-side sample (init = first k
+    * sample points, fixed iteration count, empty cells keep their centroid)
+    * — the coarse quantizer must be reproducible run-to-run for the
+    * inverted lists to be a stable table.
+    */
+  def kmeansDeterministic(points: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(points.length >= k, s"need ≥ $k sample points")
+    val dims = points.head.length
+    var cents = points.take(k).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums   = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dims) { val x = p(i) - cents(c)(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dims) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dims)(i => sums(c)(i) / counts(c)))
+      it += 1
+    }
+    cents
+  }
+
+  /** Squared L2 distance to a centroid literal. */
+  private def l2sq(v: Column, cent: Array[Double]): Column =
+    aggregate(zip_with(v, array(cent.map(lit): _*), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Index of the nearest centroid (argmin via struct-min — row-local,
+    * codegen'd). At real scale assignment would be a `mapPartitions` with a
+    * BLAS gemm per batch; the relational form keeps the test path UDF-free.
+    */
+  def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(l2sq(v, c).as("d"), lit(i).as("i"))
+    }: _*)).getField("i")
+
+  /** IVF ANN: a coarse quantizer (deterministic k-means over a bounded
+    * sample) partitions the corpus into `nlist` cells — the inverted-list
+    * table a real deployment materializes ONCE, partitioned by cell; a query
+    * probes its `nProbe` nearest cells and runs exact cosine inside them.
+    * Work per query is O(corpus × nProbe / nlist), never O(corpus).
+    *
+    * Exactness anchor: with nProbe = nlist the probe covers every cell and
+    * the result equals [[cosineTopk]] exactly (spec-tested); smaller nProbe
+    * trades recall for probe cost (recall < 1 by construction).
+    */
+  def ivfTopk(spark: SparkSession, dir: String, nlist: Int = 16,
+      nProbe: Int = 4, k: Int = 10): DataFrame = {
+    val e = emb(spark, dir).withColumn("v", col("embedding").cast("array<double>"))
+    // train on a BOUNDED deterministic sample (first 256 by vec_id) — the
+    // driver-side structure is O(sample), not O(corpus)
+    val sample = e.orderBy(col("vec_id")).limit(256)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cents = kmeansDeterministic(sample, nlist, iters = 5)
+    val assigned = e.withColumn("cell", nearestCell(col("v"), cents))
+    // query = min vec_id; its vector is one driver-known row (any real ANN
+    // service holds the query vector client-side)
+    val qRow = e.orderBy(col("vec_id")).limit(1).select(col("v")).collect().head
+    val qv = qRow.getSeq[Double](0).toArray
+    val qCells = cents.zipWithIndex.map { case (c, i) =>
+      var d = 0.0; var j = 0
+      while (j < qv.length) { val x = qv(j) - c(j); d += x * x; j += 1 }
+      (d, i)
+    }.sortBy(x => (x._1, x._2)).take(nProbe).map(_._2)
+    val qvCol = array(qv.map(lit): _*)
+    assigned
+      .filter(col("cell").isInCollection(qCells.map(Int.box).toSeq))
+      .select(col("vec_id"), col("label"), col("cell"),
+        round(cosine(col("v"), qvCol), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs on a deterministic candidate set
     * (adjacent vec_ids), cosine ≥ threshold — the embedding-space analog of
     * [[Dedup.ngramJaccard]].

@@ -93,6 +93,20 @@ class OpsSpec extends SparkSpec {
     assert(cosines.sameElements(cosines.sorted.reverse), "descending order")
   }
 
+  test("IVF ANN: full probe equals brute force exactly; partial probe finds the query") {
+    val nlist = 16
+    // nProbe = nlist covers every inverted list → must equal the exact top-k
+    val full  = Ann.ivfTopk(spark, sf, nlist = nlist, nProbe = nlist, k = 10)
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Ann.cosineTopk(spark, sf, k = 10)
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === exact, "full-probe IVF must reproduce the exact baseline")
+    // partial probe: the query's own cell is always probed → self at cos 1.0
+    val part = Ann.ivfTopk(spark, sf, nlist = nlist, nProbe = 2, k = 10).collect()
+    assert(part.nonEmpty)
+    assert(part.head.getAs[Double]("cos") === 1.0)
+  }
+
   test("LSH ANN: query's bucket contains the query; results ⊆ brute-force corpus") {
     val got = Ann.annLshTopk(spark, sf, planes = 6, k = 5).collect()
     assert(got.nonEmpty)
