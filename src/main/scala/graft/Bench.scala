@@ -28,7 +28,8 @@ object Bench {
   private val headline = Seq(
     "q_flagship_agg", "q_agg_lineitem", "q_topk_revenue", "q_window_rank",
     "q_semi_anti", "q_tfidf_cosine", "q_minhash_lsh", "q_cosine_topk",
-    "q_dedup_exact", "q_token_stats", "q_quality_score", "q_events_window")
+    "q_dedup_exact", "q_token_stats", "q_quality_score", "q_events_window",
+    "q_text_search")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -71,13 +72,14 @@ object Bench {
     * really have N cores — unpinned, the small-N JVM uses the whole box for
     * GC/IO and the efficiency ratio understates the engine. Falls back to
     * in-process (unpinned) when taskset/classpath forking is unavailable.
-    * Warmup + best-of-3 inside the child damp the sandbox's run-to-run
-    * jitter (up to 60% in single runs).
+    * Warmup + best-of-2 inside the child (×2 interleaved children = 4
+    * samples per level) damp the sandbox's run-to-run jitter (up to 60% in
+    * single runs) while bounding the crawl section's wall clock.
     */
   private def crawlRate(cpus: Int): ChildResult = {
     val b = benchSite
     forkPinnedChild(cpus, Seq(b.universities, b.deptsPerU, b.facultyPerDept)
-      .map(_.toString) ++ Seq(benchCrawl.waveSeconds.toString, "3",
+      .map(_.toString) ++ Seq(benchCrawl.waveSeconds.toString, "2",
         benchCrawl.saltShards.toString))
       .getOrElse {
         val (rate, urls) = inProcessRate(cpus)
