@@ -41,6 +41,7 @@ object SparkEntry {
     "q_fingerprint"      -> ((s, d) => TextOps.fingerprint(s, d)),
     "q_tfidf_cosine"     -> ((s, d) => TextOps.tfidfCosine(s, d)),
     "q_text_search"      -> ((s, d) => relational.InvertedIndex.textSearch(s, d)),
+    "q_corpus_prep"      -> ((s, d) => TextOps.corpusPrep(s, d)),
     // dedup family
     "q_dedup_exact"      -> ((s, d) => Dedup.dedupExact(s, d)),
     "q_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -87,6 +88,7 @@ object SparkEntry {
     "q_fingerprint"      -> TextOps.fingerprintSql,
     "q_tfidf_cosine"     -> TextOps.tfidfCosineSql,
     "q_text_search"      -> relational.InvertedIndex.textSearchSql,
+    "q_corpus_prep"      -> TextOps.corpusPrepSql,
     "q_dedup_exact"      -> Dedup.dedupExactSql,
     "q_ngram_jaccard"    -> Dedup.ngramJaccardSql,
     "q_cosine_topk"      -> Ann.cosineTopkSql,

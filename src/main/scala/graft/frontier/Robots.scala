@@ -56,4 +56,90 @@ object Robots {
     */
   def waveBudget(waveSeconds: Double): org.apache.spark.sql.Column =
     greatest(lit(1L), floor(lit(waveSeconds) / col("crawl_delay_s")).cast("long"))
+
+  // ---- robots.txt parsing (north rule: "Robots.txt fetch/parse ... run as
+  // a broadcast-joined rules table") ----
+
+  /** Parse robots.txt content into the engine's rule row for `host`.
+    *
+    * RFC 9309 / de-facto semantics, the subset a crawl scheduler consumes:
+    * groups are runs of consecutive `User-agent:` lines followed by their
+    * directives; the group matching `agent` (case-insensitive exact) wins
+    * over the `*` group; `Disallow:` values are path prefixes (empty value =
+    * allow-all directive, ignored); `Crawl-delay:` seconds override the
+    * default; `#` comments and unknown directives (Allow, Sitemap, ...) are
+    * tolerated and skipped — a malformed robots.txt must degrade to
+    * conservative defaults, never crash the wave.
+    */
+  def parseRobotsTxt(host: String, text: String, agent: String = "*"): RobotsRule = {
+    final case class Group(agents: Set[String], deny: Vector[String],
+        delay: Option[Double])
+    val groups  = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var agents  = Set.empty[String]
+    var deny    = Vector.empty[String]
+    var delay   = Option.empty[Double]
+    var inAgents = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += Group(agents, deny, delay)
+      agents = Set.empty; deny = Vector.empty; delay = None
+    }
+    text.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (i > 0) {
+        val key   = line.substring(0, i).trim.toLowerCase
+        val value = line.substring(i + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inAgents) flush() // a UA line after directives starts a new group
+            agents += value.toLowerCase
+            inAgents = true
+          case "disallow" =>
+            inAgents = false
+            if (value.nonEmpty && agents.nonEmpty) deny :+= value
+          case "crawl-delay" =>
+            inAgents = false
+            if (agents.nonEmpty)
+              delay = scala.util.Try(value.toDouble).toOption.filter(_ > 0).orElse(delay)
+          case _ =>
+            inAgents = false // Allow/Sitemap/unknown: tolerated, not modeled
+        }
+      }
+    }
+    flush()
+    val a = agent.toLowerCase
+    val chosen = groups.find(_.agents.contains(a))
+      .orElse(groups.find(_.agents.contains("*")))
+    chosen match {
+      case Some(g) => RobotsRule(host, g.deny, g.delay.getOrElse(DefaultCrawlDelayS))
+      case None    => RobotsRule(host, Nil, DefaultCrawlDelayS)
+    }
+  }
+
+  /** Fetch + parse robots.txt for every host, DISTRIBUTED (mapPartitions
+    * over the host list — at web scale the host list is millions of rows,
+    * one request each): probes `https://host/robots.txt` through the
+    * engine's fetcher (robots bodies travel as the text spans of a SpanDoc,
+    * same boundary as every other fetch) and parses each body; a missing or
+    * unfetchable robots.txt yields the default allow-all / 1 s rule. Returns
+    * rule ROWS — callers pass them to [[rulesDF]]/[[withRules]] where they
+    * broadcast.
+    */
+  def fetchRules(spark: SparkSession, hosts: Seq[String],
+      fetcher: String => Option[graft.model.SpanDoc],
+      agent: String = "*"): Seq[RobotsRule] = {
+    import spark.implicits._
+    hosts.toDS().repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { host =>
+          fetcher(s"https://$host/robots.txt") match {
+            case Some(doc) =>
+              val body = doc.spans.sortBy(_.offset).map(_.text).mkString("\n")
+              parseRobotsTxt(host, body, agent)
+            case None => RobotsRule(host, Nil, DefaultCrawlDelayS)
+          }
+        }
+      }
+      .collect().toSeq // one row per host — the broadcast side by design
+  }
 }

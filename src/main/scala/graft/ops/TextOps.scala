@@ -98,26 +98,34 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "y"),
     "fr" -> Seq("le", "les", "et", "des"))
 
+  /** Adds `predicted` (argmax of marker hits, fixed tie order) from a token
+    * column — shared by [[langId]] and [[corpusPrep]]. Marker-count columns
+    * are materialized as their own projection so the tie-break expression
+    * references attributes, not re-evaluated filters.
+    */
+  private def withPredictedLang(df: DataFrame, tks: Column): DataFrame = {
+    val withHits = langMarkers.foldLeft(df) { case (d, (l, ms)) =>
+      d.withColumn(s"__c_$l",
+        size(filter(tks, t => t.isin(ms.map(_.asInstanceOf[Any]): _*))))
+    }
+    val pred = langMarkers.map(_._1).foldRight(lit("und"): Column) { (l, els) =>
+      val c = col(s"__c_$l")
+      val geAll = langMarkers.map(_._1).filter(_ != l)
+        .map(o => c >= col(s"__c_$o")).reduce(_ && _)
+      when(c > 0 && geAll, lit(l)).otherwise(els)
+    }
+    withHits.withColumn("predicted", pred)
+      .drop(langMarkers.map(m => s"__c_${m._1}"): _*)
+  }
+
   /** Marker-stopword language-ID heuristic: predicted = argmax of marker hits
     * with a fixed tie order. Compared per (actual, predicted) cell against
     * the table's `lang` column.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val tks = tokens(col("text"))
-    val withHits = langMarkers.foldLeft(docs(spark, dir)) { case (df, (l, ms)) =>
-      df.withColumn(s"c_$l",
-        size(filter(tks, t => t.isin(ms.map(_.asInstanceOf[Any]): _*))))
-    }
-    val pred = langMarkers.map(_._1).foldRight(lit("und"): Column) { (l, els) =>
-      val c = col(s"c_$l")
-      val geAll = langMarkers.map(_._1).filter(_ != l)
-        .map(o => c >= col(s"c_$o")).reduce(_ && _)
-      when(c > 0 && geAll, lit(l)).otherwise(els)
-    }
-    withHits.withColumn("predicted", pred)
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    withPredictedLang(docs(spark, dir), tokens(col("text")))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
-  }
 
   val langIdSql: String = {
     val hits = langMarkers.map { case (l, ms) =>
@@ -197,6 +205,75 @@ object TextOps {
       |  count(*) AS n, min(doc_id) AS first_doc
       |FROM documents
       |GROUP BY 1""".stripMargin
+
+  // ---- composed corpus-prep pipeline (training-data prep end-to-end) ----
+
+  /** The training-data prep pipeline a 100 TB corpus actually runs, composed
+    * from this module's operators in ONE pass: exact dedup (keep min doc_id
+    * per content hash) → quality gate (≥ `minQualityBp`) → language gate
+    * (predicted "en") → per-doc token counts. Everything after the dedup
+    * semi-join is row-local: one corpus scan, one hash shuffle for the dedup
+    * keep-set, no other exchange. Output: (doc_id, n_tokens, quality_bp).
+    */
+  def corpusPrep(spark: SparkSession, dir: String,
+      minQualityBp: Long = 4000L): DataFrame = {
+    val d0 = docs(spark, dir)
+    val keep = d0.groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    // hoist tokens into an attribute — every stat below references it
+    val base = d0.join(keep, Seq("doc_id"), "left_semi")
+      .withColumn("__tks", tokens(col("text")))
+      .withColumn("__nw", size(col("__tks")).cast("long"))
+      .withColumn("__sh", size(filter(col("__tks"),
+        t => t.isin(Stopwords.map(_.asInstanceOf[Any]): _*))).cast("long"))
+      .withColumn("__sl",
+        aggregate(col("__tks"), lit(0), (acc, t) => acc + length(t)).cast("long"))
+      .withColumn("quality_bp",
+        (lit(50L) * least(col("__nw"), lit(100L)) +
+          expr("(2500 * __sh) DIV greatest(__nw, 1)") +
+          least(expr("(250 * __sl) DIV greatest(__nw, 1)"), lit(2500L)))
+          .cast("long"))
+    withPredictedLang(base, col("__tks"))
+      .filter(col("quality_bp") >= minQualityBp && col("predicted") === "en")
+      .select(col("doc_id"), col("__nw").as("n_tokens"), col("quality_bp"))
+  }
+
+  val corpusPrepSql: String =
+    s"""WITH keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |stats AS (
+       |  SELECT d.doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(toks, t -> list_contains($stopwordsSqlList, t)))
+       |      AS BIGINT) AS stop_hits,
+       |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+       |    toks
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+       |        FROM documents) d
+       |  JOIN keep USING (doc_id)),
+       |scored AS (
+       |  SELECT doc_id, n_words,
+       |    CAST(50 * least(n_words, 100)
+       |      + (2500 * stop_hits) // greatest(n_words, 1)
+       |      + least((250 * sum_len) // greatest(n_words, 1), 2500)
+       |      AS BIGINT) AS quality_bp,
+       |    ${langMarkers.map { case (l, ms) =>
+            s"len(list_filter(toks, t -> list_contains(" +
+              ms.mkString("['", "', '", "']") + s", t))) AS c_$l" }
+            .mkString(",\n    ")}
+       |  FROM stats),
+       |lang AS (
+       |  SELECT doc_id, n_words, quality_bp,
+       |    CASE ${langMarkers.map(_._1).map { l =>
+              val ge = langMarkers.map(_._1).filter(_ != l)
+                .map(o => s"c_$l >= c_$o").mkString(" AND ")
+              s"WHEN c_$l > 0 AND $ge THEN '$l'" }.mkString("\n      ")}
+       |      ELSE 'und' END AS predicted
+       |  FROM scored)
+       |SELECT doc_id, n_words AS n_tokens, quality_bp
+       |FROM lang
+       |WHERE quality_bp >= 4000 AND predicted = 'en'""".stripMargin
 
   // ---- TF-IDF cosine (reference `matcher.py:117-153`, SURVEY A6) ----
 

@@ -128,6 +128,58 @@ class FrontierSpec extends SparkSpec {
       ("https://h3.com/no-rule", true, 1.0, 4L))) // default: allow, 1s (scraper.py:83)
   }
 
+  test("robots.txt parser: groups, agent specificity, crawl-delay, comments") {
+    val txt =
+      """# robots for example.edu
+        |Sitemap: https://example.edu/sitemap.xml
+        |
+        |User-agent: badbot
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |User-agent: otherbot
+        |Disallow: /private/   # trailing comment
+        |Disallow:
+        |Crawl-delay: 2.5
+        |Allow: /private/ok
+        |
+        |User-agent: *
+        |Disallow: /tmp
+        |Crawl-delay: not-a-number
+        |""".stripMargin
+    // specific agent group wins; empty Disallow ignored; delay parsed
+    val mine = Robots.parseRobotsTxt("example.edu", txt, agent = "graftbot")
+    assert(mine === RobotsRule("example.edu", Seq("/private/"), 2.5))
+    // shared group via consecutive UA lines
+    val other = Robots.parseRobotsTxt("example.edu", txt, agent = "OtherBot")
+    assert(other.denyPrefixes === Seq("/private/"))
+    // unmatched agent falls back to the * group; bad delay → default
+    val anon = Robots.parseRobotsTxt("example.edu", txt, agent = "anon")
+    assert(anon === RobotsRule("example.edu", Seq("/tmp"), Robots.DefaultCrawlDelayS))
+    // no groups at all → conservative default
+    assert(Robots.parseRobotsTxt("h", "just text") === RobotsRule("h", Nil, 1.0))
+  }
+
+  test("robots fetch: per-host robots.txt probed through the fetcher") {
+    import graft.model.{Span, SpanDoc}
+    val bodies = Map(
+      "a.edu" -> "User-agent: *\nDisallow: /admin\nCrawl-delay: 4",
+      "b.edu" -> "User-agent: *\nDisallow:")
+    val fetcher: String => Option[SpanDoc] = url => {
+      val host = url.stripPrefix("https://").takeWhile(_ != '/')
+      if (url.endsWith("/robots.txt"))
+        bodies.get(host).map(b =>
+          SpanDoc(url, b.linesIterator.zipWithIndex.map { case (l, i) =>
+            Span("text", l, "", i) }.toArray))
+      else None
+    }
+    val rules = Robots.fetchRules(spark, Seq("a.edu", "b.edu", "c.edu"), fetcher)
+      .map(r => r.host -> r).toMap
+    assert(rules("a.edu") === RobotsRule("a.edu", Seq("/admin"), 4.0))
+    assert(rules("b.edu") === RobotsRule("b.edu", Nil, 1.0))
+    assert(rules("c.edu") === RobotsRule("c.edu", Nil, 1.0)) // no robots.txt
+  }
+
   test("partitioned bloom: shard merge and scaling math hold") {
     val pb = PartitionedBloom.empty(nShards = 16, expectedTotal = 1 << 14, fpp = 0.01)
     val delta = PartitionedBloom.empty(nShards = 16, expectedTotal = 1 << 14, fpp = 0.01)
