@@ -217,12 +217,15 @@ object TextOps {
     */
   def corpusPrep(spark: SparkSession, dir: String,
       minQualityBp: Long = 4000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d0 = docs(spark, dir)
-    val keep = d0.groupBy(md5(col("text")).as("__h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    // hoist tokens into an attribute — every stat below references it
-    val base = d0.join(keep, Seq("doc_id"), "left_semi")
+    // exact dedup keep-min as a PARTITIONED window (rank within each content
+    // hash), not a groupBy + self-semi-join — the join form reads the corpus
+    // twice; this is one scan + one hash-partitioned shuffle
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val base = d0.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      // hoist tokens into an attribute — every stat below references it
       .withColumn("__tks", tokens(col("text")))
       .withColumn("__nw", size(col("__tks")).cast("long"))
       .withColumn("__sh", size(filter(col("__tks"),
@@ -241,17 +244,20 @@ object TextOps {
 
   val corpusPrepSql: String =
     s"""WITH keep AS (
-       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM documents) r
+       |  WHERE rn = 1),
        |stats AS (
-       |  SELECT d.doc_id,
+       |  SELECT doc_id,
        |    CAST(len(toks) AS BIGINT) AS n_words,
        |    CAST(len(list_filter(toks, t -> list_contains($stopwordsSqlList, t)))
        |      AS BIGINT) AS stop_hits,
        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
        |    toks
        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
-       |        FROM documents) d
-       |  JOIN keep USING (doc_id)),
+       |        FROM keep) d),
        |scored AS (
        |  SELECT doc_id, n_words,
        |    CAST(50 * least(n_words, 100)

@@ -70,6 +70,16 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("corpus prep: one documents scan, dedup via partitioned window") {
+    val p = plan(SparkEntry.queries("q_corpus_prep")(spark, sf))
+    // the only table in this query is documents → every parquet scan node is
+    // a documents scan; the single-pass contract means exactly one NODE
+    // (formatted mode prints each node twice: tree line + detail header)
+    val docScans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(docScans === 1, s"expected exactly one parquet scan node:\n$p")
+    assert(p.contains("Window"), "dedup keep-min must be a partitioned window")
+  }
+
   test("source gate: no unpartitioned windows in main (single-task funnels)") {
     // Window.orderBy without partitionBy moves EVERY row through one task —
     // the crawl-order seq regression the verdict flagged. Gate the whole main
