@@ -54,6 +54,7 @@ object SparkEntry {
     "q_embedding_neardup" -> ((s, d) => Ann.embeddingNearDup(s, d)),
     // multimodal plumbing
     "q_media_meta"       -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "q_media_frames"     -> ((s, d) => Multimodal.frameSample(s, d)),
     "q_media_decode_stub" -> ((s, d) => Multimodal.mediaDecodeStub(s, d)),
     // crawl operators (SURVEY §2.8)
     "q_url_canonicalize" -> ((s, d) => CrawlQueries.urlCanonicalize(s, d)),
@@ -94,6 +95,7 @@ object SparkEntry {
     "q_cosine_topk"      -> Ann.cosineTopkSql,
     "q_embedding_neardup" -> Ann.embeddingNearDupSql,
     "q_media_meta"       -> Multimodal.mediaMetaSql,
+    "q_media_frames"     -> Multimodal.frameSampleSql,
     "q_url_canonicalize" -> CrawlQueries.urlCanonicalizeSql,
     "q_frontier_select"  -> CrawlQueries.frontierSelectSql,
     "q_bloom_antijoin"   -> CrawlQueries.bloomAntijoinSql

@@ -83,4 +83,37 @@ object Multimodal {
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("bytes"),
         sum(col("n_frames")).as("frames"))
+
+  /** Frame sampling: fixed-stride slices of the payload, exploded to one row
+    * per frame — the wire shape of a video frame sampler (slice, fan out,
+    * fingerprint). The slicing itself needs NO codec, so unlike the decode
+    * stage this is fully real and oracle-checkable: frame boundaries, counts,
+    * and per-frame fingerprints are exact on both engines. Slices are
+    * character-strided here (the sandbox payload is synthesized from text and
+    * the oracle engine lacks blob slicing); a production sampler strides
+    * bytes with the identical plan shape.
+    *
+    * Scale shape: one scan, row-local explode bounded by payload/stride, no
+    * shuffle — per-frame work fans out WITHOUT materializing frames anywhere
+    * but the operator's own output.
+    */
+  def frameSample(spark: SparkSession, dir: String, frameChars: Int = 1024): DataFrame = {
+    val nf = greatest(ceil(length(col("text")) / frameChars.toDouble).cast("int"), lit(1))
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), nf - 1)).as("frame_no"))
+      .withColumn("__frame",
+        col("text").substr(col("frame_no") * frameChars + 1, lit(frameChars)))
+      .select(col("doc_id"), col("frame_no"),
+        length(col("__frame")).as("n_chars"),
+        md5(col("__frame")).as("fp"))
+  }
+
+  val frameSampleSql: String =
+    """SELECT doc_id, f AS frame_no,
+      |  length(substring(text, f*1024 + 1, 1024)) AS n_chars,
+      |  md5(substring(text, f*1024 + 1, 1024)) AS fp
+      |FROM documents,
+      |  unnest(generate_series(0,
+      |    greatest(CAST(ceil(length(text)/1024.0) AS INT), 1) - 1)) AS t(f)""".stripMargin
 }
