@@ -29,7 +29,7 @@ object Bench {
     "q_flagship_agg", "q_agg_lineitem", "q_topk_revenue", "q_window_rank",
     "q_semi_anti", "q_tfidf_cosine", "q_minhash_lsh", "q_cosine_topk",
     "q_dedup_exact", "q_token_stats", "q_quality_score", "q_events_window",
-    "q_text_search")
+    "q_text_search", "q_corpus_prep")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
