@@ -237,9 +237,16 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         f""""crawl":{"urls":${n4.urls},"rate_n_urls_per_sec":${n.rate}%.1f,""" +
-        f""""rate_4n_urls_per_sec":${n4.rate}%.1f,""" +
-        f""""scaling_efficiency":$normalized%.3f,""" +
-        f""""scaling_efficiency_kind":"raw_over_workload_ceiling",""" +
+        // key semantics (stable from round 3 on, see bench_schema):
+        // `scaling_efficiency` is the RAW (rate_4N/rate_N)/4 ratio — its
+        // round-1 meaning, restored; the ceiling-normalized headline lives in
+        // `scaling_efficiency_normalized` (round 2 briefly reused the raw key
+        // for it); `scaling_efficiency_raw` duplicates raw for consumers of
+        // the round-2 schema.
+        f""""bench_schema":3,""" +
+        f""""scaling_efficiency":$rawEff%.3f,""" +
+        f""""scaling_efficiency_normalized":$normalized%.3f,""" +
+        f""""normalized_kind":"raw_over_workload_ceiling",""" +
         f""""scaling_efficiency_raw":$rawEff%.3f,""" +
         f""""workload_ceiling":$ceiling%.3f,"ceiling_kind":"$ceilKind",""" +
         f""""payload_ceiling":${payloadCeil.getOrElse(-1.0)}%.3f,""" +

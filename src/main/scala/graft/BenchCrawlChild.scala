@@ -31,7 +31,9 @@ object BenchCrawlChild {
     // pre-prune's extra window pass is pure overhead here (the salted path's
     // exactness and skew behavior are covered by FrontierSpec/CrawlDepth2Spec)
     val crawl = CrawlConfig(waveSeconds = args(4).toDouble,
-      saltShards = if (args.length > 6) args(6).toInt else 1)
+      saltShards = if (args.length > 6) args(6).toInt else 1,
+      // selector A/B for scaling experiments (default = the engine default)
+      selector = sys.env.getOrElse("GRAFT_SELECTOR", CrawlConfig().selector))
     val runs  = args(5).toInt
 
     // GRAFT_MASTER overrides the master — e.g. "local-cluster[2,1,6144]"

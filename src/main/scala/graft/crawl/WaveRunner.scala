@@ -24,28 +24,37 @@ final case class WaveFetch(url: String, urlHash: Long, host: String, depth: Int,
 /** The crawl engine: a wave-synchronous driver loop of DataFrame jobs
   * (SURVEY.md §3 E1, §2.8). Each wave is one declarative pipeline:
   *
-  *   frontier → robots broadcast-join → salted per-host top-k batch select
+  *   frontier → robots broadcast-join → per-host top-k batch select
   *            → mapPartitions fetch → span docs
   *            → link explode → canonicalize → xxhash64 → whitelist/depth
   *            → Bloom pre-filter + exact anti-join (URL-seen)
-  *            → frontier' ∪ new entries;  wave outputs committed atomically.
+  *            → state DELTA committed;  wave outputs committed atomically.
   *
   * Wave-synchronous batches — not Structured Streaming — because the primary
   * correctness obligation is deterministic, reproducible ordering vs the
   * sequential reference (`scraper.py:43-63`); see SURVEY.md §2.9.
   *
-  * Scale notes (the 1000-executor / 10^10-URL design):
-  *  - the only shuffles per wave are the selection windows (bounded by
-  *    pending×budget), the candidate dedup, and the seen anti-join — the seen
-  *    table is kept hash-partitioned on `url_hash` so its side of the
-  *    anti-join reuses partitioning wave-over-wave;
-  *  - nothing reaches the driver except per-wave emptiness checks and the
-  *    fixed-size Bloom shard deltas;
-  *  - fetch is `mapPartitions` over the selected batch only (budget-bounded),
-  *    so executor memory per wave is O(budget × pageSize), not O(frontier);
-  *  - every wave commits a snapshot (parquet + manifest + `_COMMITTED`) or
-  *    localCheckpoints — either way lineage is truncated, which an iterative
-  *    loop needs or the logical plan grows without bound.
+  * State model (the 1000-executor / 10^10-URL design): per-wave work is
+  * O(wave batch), never O(frontier). The frontier lives as
+  *
+  *  - `basePending`: the pending rows as of the last compaction — a stable,
+  *    hash-partitioned, lineage-truncated table that per-wave jobs only ever
+  *    SCAN (no per-wave shuffle, rewrite, or snapshot of it exists);
+  *  - `deltaState`: the latest state of only the keys touched since the last
+  *    compaction (fetched/error/retry statuses + newly discovered entries) —
+  *    O(batches since compaction) rows, re-checkpointed each wave;
+  *  - `doneDeltas`: append-only fetched/error rows, never re-materialized
+  *    (a fetched URL can never be re-enqueued — the seen set guarantees it).
+  *
+  * The live frontier is the view `basePending ⧹ keys(deltaState) ∪ deltaState
+  * ∪ doneDeltas`; a compaction every ~`frontierDeltaMaxRows` touched keys
+  * folds deltas into a new base (the only O(frontier) shuffle, amortized).
+  * The URL-seen table gets the same split: a stable `seenBase` whose
+  * anti-join side reuses its partitioning wave-over-wave, plus a small
+  * accumulator of post-compaction discoveries that joins as a broadcast.
+  * Selection is a partial-aggregating exact top-k (map-side bounded heaps),
+  * so even the selection shuffle moves O(hosts × budget) buffer rows, not
+  * O(pending). Fetch is `mapPartitions` over the selected batch only.
   */
 object WaveRunner {
 
@@ -56,12 +65,23 @@ object WaveRunner {
     */
   val RankBase = 100000L
 
+  private val FrontierDdl =
+    "url string, urlHash long, host string, depth int, priority double, " +
+      "status string, retries int, discoveredWave int, discoveredRank long, " +
+      "parentUrl string"
+
   final case class CrawlConfig(
       maxDepth: Int = 1,
       maxWaves: Int = 10000,
       maxRetries: Int = 0,          // reference fetches once, no retry (scraper.py:160-162)
       waveSeconds: Double = 1.0,    // × 1/crawl_delay = per-host budget (scraper.py:83)
-      saltShards: Int = 1,          // >1 enables the skew pre-prune in selection
+      saltShards: Int = 1,          // skew pre-prune shards for the "window" selector
+      /** Batch selector: "agg" (default — partial-aggregating exact top-k,
+        * shuffles O(hosts×budget) heap buffers) or "window" (the two-stage
+        * salted window — exact-equal, shuffles O(pending) rows per wave;
+        * kept for plan comparison and property cross-checks).
+        */
+      selector: String = "agg",
       bloomShards: Int = 32,
       bloomExpected: Long = 1L << 20,
       bloomFpp: Double = 0.01,
@@ -81,6 +101,19 @@ object WaveRunner {
         * bloom-backed.
         */
       seenFilter: String = "bloom",
+      /** Frontier/seen compaction threshold: when the keys touched since the
+        * last compaction exceed this, deltas fold into new base tables (the
+        * only O(frontier) shuffle — amortized over the waves between
+        * compactions). Also bounds the delta-key broadcasts: size it so
+        * `frontierDeltaMaxRows` × ~16 B fits comfortably in executor memory.
+        */
+      frontierDeltaMaxRows: Long = 1L << 22,
+      /** Robots-rules join regime bound (static, like the Bloom residency):
+        * rule sets with ≤ this many rows broadcast-join onto the frontier;
+        * above it (millions of hosts) the join degrades to a shuffled hash
+        * join. Set to 0 to force the shuffle regime (tests do).
+        */
+      rulesBroadcastMaxRows: Long = 1L << 20,
       snapshotDir: Option[String] = None, // Some(dir) = committed, resumable waves
       hostWhitelist: Option[Seq[String]] = None // default: seed hosts
   ) {
@@ -102,8 +135,8 @@ object WaveRunner {
       cached: Seq[DataFrame] // per-wave caches backing docs/order in memory mode
   ) {
     /** Global crawl order (seq, wave, host, host_rank, url). Lazy: deriving
-      * the seq offsets runs one small driver-side aggregate over the metrics
-      * views, deferred so crawls that never read the ordering (the throughput
+      * the seq offsets runs a small distributed job over the metrics views,
+      * deferred so crawls that never read the ordering (the throughput
       * bench) don't pay that job inside their timed window.
       */
     lazy val crawlOrder: DataFrame = orderThunk()
@@ -119,6 +152,14 @@ object WaveRunner {
     }
   }
 
+  private def seedEntriesOf(seeds: Seq[Seed]): Seq[FrontierEntry] =
+    seeds.sortBy(_.rank).map { s =>
+      val url = Urls.normalize(s.url)
+      FrontierEntry(url, Urls.urlHash64(url), Urls.hostOf(url), depth = 0,
+        priority = 1000.0 * 32 + 100.0, status = FrontierStatus.Pending, retries = 0,
+        discoveredWave = 0, discoveredRank = s.rank.toLong, parentUrl = "")
+    }
+
   /** Cold-start crawl from a seed list. */
   def run(
       spark: SparkSession,
@@ -129,25 +170,22 @@ object WaveRunner {
   ): CrawlResult = {
     import spark.implicits._
     val P = shufflePartitions(spark)
-    val seedEntries = seeds.sortBy(_.rank).map { s =>
-      val url = Urls.normalize(s.url)
-      FrontierEntry(url, Urls.urlHash64(url), Urls.hostOf(url), depth = 0,
-        priority = 1000.0 * 32 + 100.0, status = FrontierStatus.Pending, retries = 0,
-        discoveredWave = 0, discoveredRank = s.rank.toLong, parentUrl = "")
-    }
-    val frontier0 = seedEntries.toDS().toDF().repartition(P, col("urlHash"))
-    val seen0 = frontier0.select(col("urlHash").as("url_hash"), col("url"))
+    val basePending0 = seedEntriesOf(seeds).toDS().toDF().repartition(P, col("urlHash"))
+    val seen0 = basePending0.select(col("urlHash").as("url_hash"), col("url"))
       .repartition(P, col("url_hash"))
     val whitelist = cfg.hostWhitelist.getOrElse(
       seeds.map(s => Urls.hostOf(Urls.normalize(s.url))).distinct)
-    runLoop(spark, frontier0, seen0, startWave = 0, Nil, whitelist, fetcher, rules, cfg)
+    runLoop(spark, basePending0, Nil, seen0, startWave = 0, Nil, whitelist,
+      fetcher, rules, cfg)
   }
 
-  /** Resume a snapshot-mode crawl from its last committed wave: restore
-    * frontier + seen from disk, rebuild the Bloom (fixed sizing ⇒ identical
-    * shape), and run the remaining waves. Resuming a completed crawl is a
-    * no-op: the restored frontier has no pending rows, so the loop commits
-    * nothing new and returns the committed state.
+  /** Resume a snapshot-mode crawl from its last committed wave: reconstruct
+    * the frontier from the newest compacted base (or the seed rows) folded
+    * latest-wins with the per-wave frontier deltas after it, restore seen
+    * from its deltas, rebuild the Bloom (fixed sizing ⇒ identical shape),
+    * and run the remaining waves. Resuming a completed crawl is a no-op:
+    * the restored frontier has no pending rows, so the loop commits nothing
+    * new and returns the committed state.
     */
   def resume(
       spark: SparkSession,
@@ -166,28 +204,56 @@ object WaveRunner {
 
     val last  = committed.max
     val waves = committed.sorted
-    val frontier = store.readFrontier(last)
+    val seedRows = seedEntriesOf(seeds).toDS().toDF()
+
+    // frontier = newest compacted base (else the seed rows) + latest-wins
+    // fold of the frontier deltas committed after it
+    val bases = store.listFrontierBases().filter(_ <= last)
+    val (base0, deltaWaves) =
+      if (bases.isEmpty) (seedRows, waves)
+      else (store.readFrontierBase(bases.max), waves.filter(_ > bases.max))
+    val frontierCols = Seq("url", "urlHash", "host", "depth", "priority",
+      "status", "retries", "discoveredWave", "discoveredRank", "parentUrl")
+    val frontier0 = deltaWaves
+      .map(w => store.readDelta(w, "frontier_delta").withColumn("__dw", lit(w)))
+      .reduceOption(_ unionByName _) match {
+      case None => base0
+      case Some(du) =>
+        val latest = du.groupBy(col("urlHash"))
+          .agg(max_by(struct(frontierCols.map(col): _*), col("__dw")).as("c"))
+          .select(col("c.*"))
+        base0.join(latest.select(col("urlHash")), Seq("urlHash"), "left_anti")
+          .select(frontierCols.map(col): _*)
+          .unionByName(latest.select(frontierCols.map(col): _*))
+    }
+    val basePending0 = frontier0.filter(col("status") === FrontierStatus.Pending)
       .repartition(P, col("urlHash"))
+    val doneDeltas0 = Seq(frontier0.filter(col("status") =!= FrontierStatus.Pending))
+
     val seedSeen = seeds
       .map { s => val u = Urls.normalize(s.url); (Urls.urlHash64(u), u) }
       .toDF("url_hash", "url")
-    val seen = waves.map(w => store.readDelta(w, "seen_delta"))
+    val seen0 = waves.map(w => store.readDelta(w, "seen_delta"))
       .foldLeft(seedSeen)(_ unionByName _)
       .repartition(P, col("url_hash"))
     val whitelist = cfg.hostWhitelist.getOrElse(
       seeds.map(s => Urls.hostOf(Urls.normalize(s.url))).distinct)
-    runLoop(spark, frontier, seen, last + 1, waves, whitelist, fetcher, rules, cfg)
+    runLoop(spark, basePending0, doneDeltas0, seen0, last + 1, waves, whitelist,
+      fetcher, rules, cfg)
   }
 
   /** The wave loop (shared by cold start and resume).
     *
+    * @param basePending0   pending frontier rows at the starting base
+    * @param doneDeltas0    already-done frontier rows (resume reconstruction)
     * @param committedWaves already-committed wave ids, whose deltas are
     *                       stitched into the returned result
     */
   private def runLoop(
       spark: SparkSession,
-      frontier0: DataFrame,
-      seen0: DataFrame,
+      basePending0: DataFrame,
+      doneDeltas0: Seq[DataFrame],
+      seenBase0: DataFrame,
       startWave: Int,
       committedWaves: Seq[Int],
       whitelist: Seq[String],
@@ -196,10 +262,21 @@ object WaveRunner {
       cfg: CrawlConfig
   ): CrawlResult = {
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val P = shufflePartitions(spark)
 
-    var frontier = frontier0.persist(StorageLevel.MEMORY_AND_DISK)
-    var seen     = seen0.persist(StorageLevel.MEMORY_AND_DISK)
+    // -- frontier/seen state (see the class doc for the model) --
+    var basePending = basePending0.persist(StorageLevel.MEMORY_AND_DISK)
+    var seenBase    = seenBase0.persist(StorageLevel.MEMORY_AND_DISK)
+    var deltaState  = union(spark, Nil, FrontierDdl) // empty until a wave commits
+    var deltaRowsBound = 0L  // upper bound on |deltaState| (drives compaction)
+    val seenAccParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val doneDeltas   = scala.collection.mutable.ArrayBuffer(doneDeltas0: _*)
+    def seenAcc: Option[DataFrame] =
+      seenAccParts.reduceOption(_ unionByName _)
+
     // URL-seen Bloom state, residency chosen statically from the configured
     // sizing (cfg.bloomBroadcastable, like Spark's broadcast-join threshold):
     //  - broadcast regime (filter fits the bound): a driver PartitionedBloom,
@@ -208,7 +285,7 @@ object WaveRunner {
     //  - sharded regime (the 10^10 path): a Dataset[BloomShard] living on
     //    executors, probed via shard-local cogroup — nothing whole-filter
     //    ever exists in one place. LAZY localCheckpoint, not persist: like
-    //    frontier/seen this is iterative state — a persist caches data but
+    //    the frontier state this is iterative — a persist caches data but
     //    keeps the logical plan, and the bloom plan references ITSELF twice
     //    per wave (probe + merge), so un-truncated lineage grows
     //    exponentially (measured: OOM building plan strings by wave ~6); the
@@ -220,25 +297,23 @@ object WaveRunner {
     if (bloomBroadcast) {
       bloomDriver =
         if (cfg.seenFilter == "cuckoo")
-          PartitionedCuckoo.build(seen0.select(col("url_hash")),
+          PartitionedCuckoo.build(seenBase0.select(col("url_hash")),
             cfg.bloomShards, cfg.bloomExpected)
         else
-          PartitionedBloom.build(seen0.select(col("url_hash")),
+          PartitionedBloom.build(seenBase0.select(col("url_hash")),
             cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp)
     } else {
       require(cfg.seenFilter == "bloom",
         "the sharded (beyond-broadcast) URL-seen regime is bloom-backed")
-      bloomTable = BloomTable.fromHashes(seen0.select(col("url_hash")),
+      bloomTable = BloomTable.fromHashes(seenBase0.select(col("url_hash")),
         cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp).localCheckpoint(false)
       seenTotal = BloomTable.totalKeys(bloomTable)
     }
 
     val rulesDF = Robots.rulesDF(spark,
       if (rules.nonEmpty) rules else Seq(RobotsRule("__none__", Nil, Robots.DefaultCrawlDelayS)))
-    val whitelistDF = {
-      import spark.implicits._
-      whitelist.toDF("host")
-    }
+    val rulesBroadcastable = rules.size <= cfg.rulesBroadcastMaxRows
+    val whitelistDF = whitelist.toDF("host")
 
     // snapshot-mode table store (G10) — the engine speaks only to WaveStore;
     // a real Iceberg/Delta catalog drops in behind the trait
@@ -272,24 +347,34 @@ object WaveRunner {
     var done = false
     var totalFetches = 0L
     while (!done && wave < cfg.maxWaves) {
-      val pending = frontier.filter(
-        col("status") === FrontierStatus.Pending && col("retries") <= cfg.maxRetries)
-      val ruled = Robots.withRules(pending, rulesDF)
+      // live pending view: untouched base rows + touched keys' latest state.
+      // The base side is a SCAN (its partitioning/caching is stable); only
+      // the bounded delta keys move, as a broadcast.
+      val deltaKeys = deltaState.select(col("urlHash"))
+      val pending = basePending
+        .join(broadcast(deltaKeys), Seq("urlHash"), "left_anti")
+        .unionByName(deltaState)
+        .filter(col("status") === FrontierStatus.Pending &&
+          col("retries") <= cfg.maxRetries)
+      val ruled = Robots.withRules(pending, rulesDF, rulesBroadcastable)
         .filter(col("allowed"))
         .withColumn("budget", Robots.waveBudget(cfg.waveSeconds))
       // the batch carries ALL frontier fields through the fetch stage so the
-      // post-fetch frontier transition is a pure projection — no join back
+      // post-fetch state transition is a pure projection — no join back
       // against the frontier (one fewer shuffle per wave)
-      val batch = WaveSelector.select(ruled, cfg.saltShards)
-        .select(col("url"), col("urlHash"), col("host"), col("depth"),
-          col("priority"), col("retries"), col("discoveredWave"),
-          col("discoveredRank"), col("parentUrl"), col("host_rank"))
-        // Size fetch parallelism by request count, NOT by shuffle bytes: the
-        // selection output is tiny (frontier rows), so AQE would coalesce it
-        // to ~1 partition and run the expensive fetch+encode stage serially.
-        // Explicit repartition pins P fetch tasks (at cluster scale: one unit
-        // of politeness-bounded fetch work per core).
-        .repartition(P * 3)
+      val selected =
+        if (cfg.selector == "window")
+          WaveSelector.select(ruled, cfg.saltShards)
+            .select(col("url"), col("urlHash"), col("host"), col("depth"),
+              col("priority"), col("retries"), col("discoveredWave"),
+              col("discoveredRank"), col("parentUrl"), col("host_rank"))
+        else WaveSelector.selectAgg(ruled)
+      // Size fetch parallelism by request count, NOT by shuffle bytes: the
+      // selection output is tiny (batch rows), so AQE would coalesce it to
+      // ~1 partition and run the expensive fetch+encode stage serially.
+      // Explicit repartition pins P fetch tasks (at cluster scale: one unit
+      // of politeness-bounded fetch work per core).
+      val batch = selected.repartition(P * 3)
 
       // wave id travels in the closure, not as a lit() column: an inlined
       // literal changes the generated code every wave and forces a full
@@ -363,24 +448,20 @@ object WaveRunner {
           .select(col("url_hash"), col("c.*"))
 
         // -- URL-seen: shard-local Bloom fast path + exact anti-join (G4).
-        // The merged bloom table's key-total aggregate doubles as the
-        // materializing action for the unseen cache AND supplies the enqueued
-        // count — one job instead of three. Built inside `buildBloom` so the
-        // memory-mode commit can run it CONCURRENTLY with the frontier/seen
-        // checkpoints: the lazy localCheckpoint call compiles the typed
-        // merge plan eagerly on the driver (measured 1.5-5 s/wave), and run
-        // serially that compile idles every executor — overlapped, it hides
-        // under the checkpoint jobs.
+        // The exact rescue never rewrites the seen set: it anti-joins the
+        // stable seenBase (partitioning reused) and broadcast-anti-joins the
+        // bounded accumulator of post-compaction discoveries.
         val unseen =
           (if (bloomBroadcast)
-            UrlSeen.filterUnseen(candidates, seen, bloomDriver)
+            UrlSeen.filterUnseen(candidates, seenBase, seenAcc, bloomDriver)
           else
-            UrlSeen.filterUnseenSharded(candidates, seen, bloomTable, cfg.bloomShards))
+            UrlSeen.filterUnseenSharded(candidates, seenBase, seenAcc,
+              bloomTable, cfg.bloomShards))
             .persist(StorageLevel.MEMORY_AND_DISK)
         val seenDelta = unseen.select(col("url_hash"), col("url"))
-        // buildBloom runs in a Future (memory mode) — it only READS the state
-        // vars and stashes the wave's update in the pending slots; the main
-        // thread applies them after Await (the join is the memory barrier)
+        // buildBloom runs in a Future — it only READS the state vars and
+        // stashes the wave's update in the pending slots; the main thread
+        // applies them after Await (the join is the memory barrier)
         var pendingDriverDelta: SeenPreFilter      = null
         var pendingTable: Dataset[BloomShard]      = null
         val bloomTableNow  = bloomTable
@@ -417,8 +498,10 @@ object WaveRunner {
           col("discoveredRank"),
           col("parent_url").as("parentUrl"))
 
-        // -- frontier transition: selected rows leave pending; errors retry (G8)
-        val untouched = frontier.join(fetched.select(col("urlHash")), Seq("urlHash"), "left_anti")
+        // -- state transition (G8): selected rows leave pending (errors
+        // retry); the wave's DELTA is just their new statuses + discoveries —
+        // O(batch), never O(frontier). No anti-join, union, repartition, or
+        // checkpoint ever touches the full frontier here.
         val finished = fetched
           .select(col("url"), col("urlHash"), col("host"), col("depth"), col("priority"),
             when(col("ok"), FrontierStatus.Fetched)
@@ -426,10 +509,7 @@ object WaveRunner {
               .otherwise(FrontierStatus.Error).as("status"),
             when(col("ok"), col("retries")).otherwise(col("retries") + 1).as("retries"),
             col("discoveredWave"), col("discoveredRank"), col("parentUrl"))
-        val newFrontier = untouched.unionByName(finished).unionByName(newEntries)
-          .repartition(P, col("urlHash"))
-
-        val newSeen = seen.unionByName(seenDelta).repartition(P, col("url_hash"))
+        val waveDelta = finished.unionByName(newEntries)
 
         val docsDelta = fetched.filter(col("ok"))
           .select(col("url"), col("urlHash"), col("host"), col("depth"), col("wave"), col("spans"))
@@ -441,18 +521,30 @@ object WaveRunner {
             sum(col("fetchMs")).as("fetchMsTotal"))
             .withColumn("urlsEnqueued", lit(unseenCount))
 
-        // -- commit (G10): snapshot store (resumable) or localCheckpoint
+        // deltaState' = deltaState ⧹ keys(waveDelta) ∪ waveDelta. Anti-joining
+        // the full waveDelta key set (not just the batch keys) is equivalent —
+        // newEntries keys are unseen, so they cannot already be in deltaState —
+        // and lets the snapshot path build the transition purely from the
+        // committed delta, decoupling it from the per-wave caches.
+        def nextDeltaState(delta: DataFrame): DataFrame =
+          deltaState
+            .join(broadcast(delta.select(col("urlHash"))), Seq("urlHash"), "left_anti")
+            .select(deltaState.columns.map(col): _*)
+            .unionByName(delta)
+
+        // -- commit (G10): snapshot store (resumable) or localCheckpoint.
+        // Either way the committed object is the wave DELTA.
         val unseenCount = store match {
           case Some(st) =>
             val n = phase("discover+seen", wave) { buildBloom() }
             val metricsDelta = mkMetricsDelta(n)
-            st.commitWave(wave, newFrontier, seenDelta, docsDelta, orderDelta,
+            st.commitWave(wave, waveDelta, seenDelta, docsDelta, orderDelta,
               metricsDelta)
-            val f2 = st.readFrontier(wave).repartition(P, col("urlHash"))
-              .persist(StorageLevel.MEMORY_AND_DISK)
-            val s2 = newSeen.localCheckpoint(true)
-            frontier.unpersist(); seen.unpersist()
-            frontier = f2; seen = s2
+            val waveDeltaDisk = st.readDelta(wave, "frontier_delta")
+            deltaState = phase("delta-ckpt", wave) {
+              nextDeltaState(waveDeltaDisk).localCheckpoint(true)
+            }
+            seenAccParts += st.readDelta(wave, "seen_delta")
             docsDeltas += st.readDelta(wave, "docs_delta")
             orderDeltas += st.readDelta(wave, "order_delta")
             metricsDeltas += st.readDelta(wave, "metrics_delta")
@@ -461,38 +553,33 @@ object WaveRunner {
           case None =>
             // memory mode: deltas stay as views over the persisted `fetched`/
             // `unseen` caches, which live as long as the result does — no
-            // per-wave checkpoint jobs and no final re-materialization of the
-            // span data; only the iterative frontier/seen need lineage cuts.
-            // The checkpoints AND the bloom build run as THREE concurrent
-            // tasks: the jobs are independent (all three first-compute the
-            // shared `unseen` cache, which the block manager serializes
-            // per-partition), overlapping fills stage tails AND hides the
-            // bloom plan's driver-side compile under executor work.
-            import scala.concurrent.{Await, Future}
-            import scala.concurrent.duration.Duration
-            import scala.concurrent.ExecutionContext.Implicits.global
-            val seenNow = seen
-            val (f2, s2, n) = phase("state-ckpt+bloom", wave) {
-              val ff = Future { newFrontier.localCheckpoint(true) }
+            // per-wave re-materialization of the span data. The deltaState
+            // checkpoint (O(touched keys), bounded by compaction) and the
+            // bloom build run CONCURRENTLY: the jobs are independent (both
+            // first-compute the shared `unseen` cache, which the block
+            // manager serializes per-partition), overlapping fills stage
+            // tails AND hides the bloom plan's driver-side compile under
+            // executor work.
+            // the seen DELTA is checkpointed too (O(batch)) — kept as a plan
+            // view it would nest the whole wave pipeline inside the next
+            // wave's seen-accumulator plan, and plans would grow recursively
+            // (persist caches data, not plans)
+            val (ds2, sd2, n) = phase("delta-ckpt+bloom", wave) {
+              val df = Future { nextDeltaState(waveDelta).localCheckpoint(true) }
+              val sf = Future { seenDelta.localCheckpoint(true) }
               val bf = Future { buildBloom() }
-              // seen only changes when the wave discovered something: chain
-              // its checkpoint on the bloom future's count and skip the whole
-              // 444k-row rewrite on leaf waves (bf materializes `unseen`, so
-              // a started sf reuses the cache rather than recomputing)
-              val sf = bf.flatMap { n =>
-                if (n > 0L) Future { newSeen.localCheckpoint(true) }
-                else Future.successful(seenNow)
-              }
-              (Await.result(ff, Duration.Inf), Await.result(sf, Duration.Inf),
+              (Await.result(df, Duration.Inf), Await.result(sf, Duration.Inf),
                 Await.result(bf, Duration.Inf))
             }
-            frontier.unpersist()
-            if (!(s2 eq seenNow)) seen.unpersist()
-            frontier = f2; seen = s2
+            deltaState = ds2
+            seenAccParts += sd2
             docsDeltas += docsDelta
             orderDeltas += orderDelta
             metricsDeltas += mkMetricsDelta(n)
-            cached += fetched; cached += unseen
+            cached += fetched
+            // every consumer of the unseen cache is materialized now (bloom
+            // delta, deltaState checkpoint, seen-delta checkpoint) — release it
+            unseen.unpersist()
             n
         }
         // apply the wave's bloom update (buildBloom already materialized it)
@@ -503,43 +590,96 @@ object WaveRunner {
           bloomTable = pendingTable
           seenTotal += unseenCount
         }
+        deltaRowsBound += batchCount + unseenCount
+
+        // -- compaction: fold deltas into new base tables — the ONLY
+        // O(frontier) shuffle in the engine, amortized over the waves between
+        // compactions. Done rows move to the append-only doneDeltas views
+        // (they are never re-materialized again).
+        if (deltaRowsBound > cfg.frontierDeltaMaxRows) {
+          phase("compaction", wave) {
+            val dk = deltaState.select(col("urlHash"))
+            val newBasePending = basePending
+              .join(broadcast(dk), Seq("urlHash"), "left_anti")
+              .select(basePending.columns.map(col): _*)
+              .unionByName(deltaState.filter(col("status") === FrontierStatus.Pending))
+              .repartition(P, col("urlHash"))
+            val newSeenBase = seenAcc match {
+              case Some(acc) => seenBase.unionByName(acc).repartition(P, col("url_hash"))
+              case None      => null
+            }
+            val bpF = Future { newBasePending.localCheckpoint(true) }
+            val sbF =
+              if (newSeenBase == null) Future.successful(seenBase)
+              else Future { newSeenBase.localCheckpoint(true) }
+            val bp2 = Await.result(bpF, Duration.Inf)
+            val sb2 = Await.result(sbF, Duration.Inf)
+            doneDeltas += deltaState.filter(col("status") =!= FrontierStatus.Pending)
+            store.foreach { st =>
+              st.commitFrontierBase(wave,
+                bp2.unionByName(union(spark, doneDeltas.toSeq, FrontierDdl)))
+            }
+            basePending.unpersist(); basePending = bp2
+            if (!(sb2 eq seenBase)) { seenBase.unpersist(); seenBase = sb2 }
+            deltaState = union(spark, Nil, FrontierDdl)
+            seenAccParts.clear()
+            deltaRowsBound = 0L
+          }
+        }
         wave += 1
       }
     }
 
     val docs = union(spark, docsDeltas.result(),
       "url string, urlHash long, host string, depth int, wave int, " +
-        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int,cls:string>>")
     val orderRaw = union(spark, orderDeltas.result(),
       "wave int, host string, host_rank long, url string")
     val metrics = union(spark, metricsDeltas.result(),
       "wave int, host string, fetched long, errors long, fetchMsTotal long, urlsEnqueued long")
-    // Global crawl sequence WITHOUT an unpartitioned window (which funnels
-    // every fetched URL ever through ONE task): within (wave, host) the rows
-    // are already densely ranked by host_rank, so seq = group offset +
-    // host_rank. Group sizes come from the per-(wave,host) metrics — already
-    // aggregated, O(hosts×waves) rows, never O(URLs) — prefix-summed on the
-    // driver in the same (wave asc, host asc) order the window used, then
-    // broadcast-joined back. Hosts are ASCII (URL syntax), so JVM string
-    // order here equals Spark's UTF8 binary order.
+    // Global crawl sequence, fully distributed and with NO unpartitioned
+    // window (which would funnel every fetched URL ever through ONE task):
+    // within (wave, host) the rows are already densely ranked by host_rank,
+    // so seq = group offset + host_rank. Group offsets come from the
+    // per-(wave,host) metrics — already aggregated, O(hosts×waves) rows,
+    // never O(URLs) — as an intra-wave prefix sum (window partitioned by
+    // wave; host order is Spark's own UTF8 binary sort, correct for any
+    // host) plus cross-wave offsets from a tiny O(waves²) non-equi
+    // self-join. Nothing is collected to the driver.
     def order(): DataFrame = {
-      import spark.implicits._
-      val counts = metrics
-        .select(col("wave"), col("host"), (col("fetched") + col("errors")).as("n"))
-        .collect()
-        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-        .sortBy(r => (r._1, r._2))
-      var running = 0L
-      val offsets = counts.map { case (w, h, n) =>
-        val o = running; running += n; (w, h, o)
-      }.toSeq.toDF("wave", "host", "__offset")
-      orderRaw.join(broadcast(offsets), Seq("wave", "host"))
+      import org.apache.spark.sql.expressions.Window
+      val counts = metrics.select(col("wave"), col("host"),
+        (col("fetched") + col("errors")).as("__n"))
+      val wIntra = Window.partitionBy(col("wave")).orderBy(col("host"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val intra = counts.withColumn("__intra",
+        coalesce(sum(col("__n")).over(wIntra), lit(0L)))
+      val waveTotals = counts.groupBy(col("wave")).agg(sum(col("__n")).as("__wn"))
+      val waveOff = waveTotals.as("a")
+        .join(waveTotals.as("b"), col("b.wave") < col("a.wave"), "left")
+        .groupBy(col("a.wave").as("wave"))
+        .agg(coalesce(sum(col("b.__wn")), lit(0L)).as("__woff"))
+      val offsets = intra.join(waveOff, Seq("wave"))
+        .select(col("wave"), col("host"), (col("__woff") + col("__intra")).as("__offset"))
+      orderRaw.join(offsets, Seq("wave", "host"))
         .withColumn("seq", col("__offset") + col("host_rank"))
         .select(col("seq"), col("wave"), col("host"), col("host_rank"), col("url"))
     }
     if (!bloomBroadcast) cached += bloomTable.toDF() // released with the result
-    CrawlResult(frontier, seen, docs, () => order(), metrics, wave, totalFetches,
-      cached.result())
+    val deltaKeysF = deltaState.select(col("urlHash"))
+    val frontierFinal = basePending
+      .join(broadcast(deltaKeysF), Seq("urlHash"), "left_anti")
+      .select(basePending.columns.map(col): _*)
+      .unionByName(deltaState)
+      .unionByName(union(spark, doneDeltas.toSeq, FrontierDdl))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seenFinal = (seenAcc match {
+      case Some(acc) => seenBase.unionByName(acc)
+      case None      => seenBase
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    cached += basePending; cached += seenBase
+    CrawlResult(frontierFinal, seenFinal, docs, () => order(), metrics, wave,
+      totalFetches, cached.result())
   }
 
   private def shufflePartitions(spark: SparkSession): Int =

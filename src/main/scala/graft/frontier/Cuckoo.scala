@@ -63,24 +63,45 @@ final class CuckooFilter private (val nBuckets: Int) extends Serializable {
 
   /** Insert by raw fingerprint + one of its two buckets (enough information
     * to place, relocate, look up, and delete — the partial-key property).
-    * Returns false if the filter is effectively full (max kicks exhausted).
+    * Returns false if the filter is effectively full (max kicks exhausted) —
+    * in which case the displacement chain is UNWOUND first, so the filter is
+    * bit-identical to before the call: a failed insert can never turn a
+    * previously-inserted key into a false negative (the no-false-negative
+    * contract the exact-rescue design relies on — without the unwind, the
+    * last displaced victim would be silently dropped, and a caller that
+    * catches the failure and continues would carry a corrupted filter).
     */
   def insertFp(bucket: Int, fp: Short): Boolean = {
     val alt = altBucket(bucket, fp, mask)
     if (tryInsertAt(bucket, fp) || tryInsertAt(alt, fp)) { count += 1; return true }
-    // relocate: kick a random-ish victim between its two buckets
+    // relocate: kick a random-ish victim between its two buckets, recording
+    // the chain (slot written, fingerprint written) for the failure unwind
     var b = if (((fp & 1): Int) == 0) bucket else alt
     var f = fp
     var kicks = 0
+    val slotTrail = new Array[Int](MaxKicks)
+    val fpTrail   = new Array[Short](MaxKicks)
     while (kicks < MaxKicks) {
       val base = slotBase(b)
       val victimSlot = base + (kicks & (SlotsPerBucket - 1))
       val victim = slots(victimSlot)
       slots(victimSlot) = f
+      slotTrail(kicks) = victimSlot
+      fpTrail(kicks) = f
       f = victim
       b = altBucket(b, f, mask)
       if (tryInsertAt(b, f)) { count += 1; return true }
       kicks += 1
+    }
+    // capacity exhausted: restore every displaced victim. Step i wrote
+    // fpTrail(i) into slotTrail(i), displacing the value that step i+1 then
+    // carried (the final carry is `f`); walking backwards puts each victim
+    // home and squeezes the never-before-inserted `fp` back out.
+    var i = kicks - 1
+    while (i >= 0) {
+      val victim = if (i == kicks - 1) f else fpTrail(i + 1)
+      slots(slotTrail(i)) = victim
+      i -= 1
     }
     false
   }

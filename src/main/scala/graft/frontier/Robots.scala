@@ -23,8 +23,8 @@ object Robots {
     rules.toDS().toDF()
   }
 
-  /** Left-broadcast-join rules onto a frontier (must carry `host`, `url`);
-    * null rule → default allow + 1 s delay. Adds:
+  /** Left-join rules onto a frontier (must carry `host`, `url`); null rule →
+    * default allow + 1 s delay. Adds:
     *   `crawl_delay_s: double`, `allowed: boolean`.
     * Deny semantics: URL path starts with any deny prefix.
     *
@@ -32,13 +32,21 @@ object Robots {
     * most conservative — largest — crawl delay kept): duplicate host rows
     * would fan the frontier out through the join and the same URL would be
     * selected/fetched twice in a wave, corrupting ordering and budgets.
+    *
+    * Join regime is chosen STATICALLY by the caller (same pattern as the
+    * URL-seen Bloom residency): `broadcastRules = true` below the configured
+    * row bound — one broadcast, no shuffle; `false` for a rules table too big
+    * to broadcast (millions of hosts), degrading to a shuffled hash join on
+    * `host`.
     */
-  def withRules(frontier: DataFrame, rules: DataFrame): DataFrame = {
+  def withRules(frontier: DataFrame, rules: DataFrame,
+      broadcastRules: Boolean = true): DataFrame = {
     val perHost = rules.groupBy(col("host")).agg(
       array_sort(array_distinct(flatten(collect_list(col("denyPrefixes")))))
         .as("__deny"),
       max(col("crawlDelayS")).as("__delay"))
-    val joined = frontier.join(broadcast(perHost), Seq("host"), "left")
+    val rulesSide = if (broadcastRules) broadcast(perHost) else perHost.hint("shuffle_hash")
+    val joined = frontier.join(rulesSide, Seq("host"), "left")
     val path = regexp_replace(col("url"), "^https?://[^/]*", "")
     joined
       .withColumn("crawl_delay_s", coalesce(col("__delay"), lit(DefaultCrawlDelayS)))
@@ -64,8 +72,11 @@ object Robots {
     *
     * RFC 9309 / de-facto semantics, the subset a crawl scheduler consumes:
     * groups are runs of consecutive `User-agent:` lines followed by their
-    * directives; the group matching `agent` (case-insensitive exact) wins
-    * over the `*` group; `Disallow:` values are path prefixes (empty value =
+    * directives; group selection is the RFC's product-token match — a group
+    * applies when its user-agent token is a case-insensitive PREFIX of the
+    * crawler's agent string (so `User-agent: graftbot` matches agent
+    * "graftbot/1.0"), the longest matching token wins, and the `*` group is
+    * the fallback; `Disallow:` values are path prefixes (empty value =
     * allow-all directive, ignored); `Crawl-delay:` seconds override the
     * default; `#` comments and unknown directives (Allow, Sitemap, ...) are
     * tolerated and skipped — a malformed robots.txt must degrade to
@@ -108,28 +119,38 @@ object Robots {
     }
     flush()
     val a = agent.toLowerCase
-    val chosen = groups.find(_.agents.contains(a))
-      .orElse(groups.find(_.agents.contains("*")))
+    // longest case-insensitive token-prefix match; '*' only as fallback
+    val best = groups.flatMap { g =>
+      g.agents.filter(t => t != "*" && a.startsWith(t))
+        .map(t => (t.length, g))
+    }
+    val chosen =
+      if (best.nonEmpty) Some(best.maxBy(_._1)._2)
+      else groups.find(_.agents.contains("*"))
     chosen match {
       case Some(g) => RobotsRule(host, g.deny, g.delay.getOrElse(DefaultCrawlDelayS))
       case None    => RobotsRule(host, Nil, DefaultCrawlDelayS)
     }
   }
 
-  /** Fetch + parse robots.txt for every host, DISTRIBUTED (mapPartitions
-    * over the host list — at web scale the host list is millions of rows,
-    * one request each): probes `https://host/robots.txt` through the
-    * engine's fetcher (robots bodies travel as the text spans of a SpanDoc,
-    * same boundary as every other fetch) and parses each body; a missing or
-    * unfetchable robots.txt yields the default allow-all / 1 s rule. Returns
-    * rule ROWS — callers pass them to [[rulesDF]]/[[withRules]] where they
-    * broadcast.
+  /** Fetch + parse robots.txt for every host, DISTRIBUTED end-to-end: probes
+    * `https://host/robots.txt` through the engine's fetcher (robots bodies
+    * travel as the text spans of a SpanDoc, same boundary as every other
+    * fetch) and parses each body on the executors; a missing or unfetchable
+    * robots.txt yields the default allow-all / 1 s rule. The rules TABLE this
+    * returns never visits the driver — at web scale (millions of hosts) pass
+    * it straight to [[withRules]] with `broadcastRules = false`; below the
+    * broadcast bound, [[fetchRules]] is the collected convenience form.
+    *
+    * @param hosts a DataFrame with a `host: string` column
     */
-  def fetchRules(spark: SparkSession, hosts: Seq[String],
+  def fetchRulesDF(hosts: DataFrame,
       fetcher: String => Option[graft.model.SpanDoc],
-      agent: String = "*"): Seq[RobotsRule] = {
+      agent: String = "*"): DataFrame = {
+    val spark = hosts.sparkSession
     import spark.implicits._
-    hosts.toDS().repartition(spark.sparkContext.defaultParallelism)
+    hosts.select(col("host")).as[String]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.map { host =>
           fetcher(s"https://$host/robots.txt") match {
@@ -140,6 +161,17 @@ object Robots {
           }
         }
       }
-      .collect().toSeq // one row per host — the broadcast side by design
+      .toDF()
+  }
+
+  /** Collected convenience form of [[fetchRulesDF]] — only for rule sets
+    * known to fit the broadcast regime.
+    */
+  def fetchRules(spark: SparkSession, hosts: Seq[String],
+      fetcher: String => Option[graft.model.SpanDoc],
+      agent: String = "*"): Seq[RobotsRule] = {
+    import spark.implicits._
+    fetchRulesDF(hosts.toDF("host"), fetcher, agent)
+      .as[RobotsRule].collect().toSeq
   }
 }

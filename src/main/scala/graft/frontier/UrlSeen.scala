@@ -225,17 +225,39 @@ object UrlSeen {
     * @param seen DataFrame with `url_hash: long`, hash-partitioned upstream
     *             so the anti-join's probe side shuffles minimally.
     */
-  def filterUnseen(candidates: DataFrame, seen: DataFrame, bloom: SeenPreFilter): DataFrame = {
+  def filterUnseen(candidates: DataFrame, seen: DataFrame, bloom: SeenPreFilter): DataFrame =
+    filterUnseen(candidates, seen, None, bloom)
+
+  /** Delta-aware variant: the seen set is a stable hash-partitioned `seenBase`
+    * (compacted rarely — its side of the anti-join reuses partitioning and is
+    * never rewritten per wave) plus a small `seenAcc` of rows discovered since
+    * the last compaction, anti-joined as a BROADCAST (bounded by the engine's
+    * compaction threshold). Exactness is identical to a single anti-join
+    * against base ∪ acc — the split exists so no per-wave job ever shuffles
+    * or rewrites the cumulative seen set.
+    */
+  def filterUnseen(candidates: DataFrame, seenBase: DataFrame,
+      seenAcc: Option[DataFrame], bloom: SeenPreFilter): DataFrame = {
     val spark = candidates.sparkSession
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContain(h))
     val flagged = candidates.withColumn("__maybe_seen", mightContain(col("url_hash")))
     val fastPath = flagged.filter(!col("__maybe_seen")).drop("__maybe_seen")
     val needExact = flagged.filter(col("__maybe_seen")).drop("__maybe_seen")
-    val rescued = needExact.join(
-      seen.select(col("url_hash")).hint("shuffle_hash"),
-      Seq("url_hash"), "left_anti")
+    val rescued = antiSeen(needExact, seenBase, seenAcc)
     fastPath.unionByName(rescued)
+  }
+
+  private def antiSeen(needExact: DataFrame, seenBase: DataFrame,
+      seenAcc: Option[DataFrame]): DataFrame = {
+    val vsBase = needExact.join(
+      seenBase.select(col("url_hash")).hint("shuffle_hash"),
+      Seq("url_hash"), "left_anti")
+    seenAcc match {
+      case Some(acc) => vsBase.join(broadcast(acc.select(col("url_hash"))),
+        Seq("url_hash"), "left_anti")
+      case None => vsBase
+    }
   }
 
   /** Shard-local variant of [[filterUnseen]]: candidates are co-partitioned
@@ -246,7 +268,14 @@ object UrlSeen {
     * variant; the exactness contract is identical.
     */
   def filterUnseenSharded(candidates: DataFrame, seen: DataFrame,
-      blooms: Dataset[BloomShard], nShards: Int): DataFrame = {
+      blooms: Dataset[BloomShard], nShards: Int): DataFrame =
+    filterUnseenSharded(candidates, seen, None, blooms, nShards)
+
+  /** Delta-aware sharded variant — see [[filterUnseen]] for the
+    * base+accumulator split rationale.
+    */
+  def filterUnseenSharded(candidates: DataFrame, seenBase: DataFrame,
+      seenAcc: Option[DataFrame], blooms: Dataset[BloomShard], nShards: Int): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val withShard = candidates.withColumn("__shard",
@@ -270,9 +299,7 @@ object UrlSeen {
     }(Encoders.row(outSchema))
     val fastPath  = flagged.filter(!col("__maybe_seen")).drop("__maybe_seen", "__shard")
     val needExact = flagged.filter(col("__maybe_seen")).drop("__maybe_seen", "__shard")
-    val rescued = needExact.join(
-      seen.select(col("url_hash")).hint("shuffle_hash"),
-      Seq("url_hash"), "left_anti")
+    val rescued = antiSeen(needExact, seenBase, seenAcc)
     fastPath.unionByName(rescued)
   }
 }

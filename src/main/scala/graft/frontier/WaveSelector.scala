@@ -1,8 +1,16 @@
 package graft.frontier
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+
+/** One selection candidate — the frontier fields the fetch stage carries plus
+  * the per-host `budget` from [[Robots.waveBudget]]. Top-level so Catalyst
+  * encoders reach it.
+  */
+final case class SelCand(url: String, urlHash: Long, host: String, depth: Int,
+    priority: Double, retries: Int, discoveredWave: Int, discoveredRank: Long,
+    parentUrl: String, budget: Long)
 
 /** Priority + per-host batch selection for one crawl wave (SURVEY.md §2.8
   * G5/G6, §2.5 W4).
@@ -49,6 +57,86 @@ object WaveSelector {
     * @param saltShards shards for the skew pre-prune (S=1 disables salting)
     * @return batch rows + `host_rank` (0-based intra-host fetch position)
     */
+  /** Deterministic candidate order: priority desc, then first-discovery
+    * (wave, rank), then the unique urlHash — identical to the window `ord`.
+    */
+  object SelOrd extends Ordering[SelCand] {
+    def compare(a: SelCand, b: SelCand): Int = {
+      var c = java.lang.Double.compare(b.priority, a.priority)
+      if (c != 0) return c
+      c = Integer.compare(a.discoveredWave, b.discoveredWave)
+      if (c != 0) return c
+      c = java.lang.Long.compare(a.discoveredRank, b.discoveredRank)
+      if (c != 0) return c
+      java.lang.Long.compare(a.urlHash, b.urlHash)
+    }
+  }
+
+  /** Bounded top-k heap: worst element on top (PriorityQueue dequeues the
+    * LARGEST under SelOrd = the worst candidate), so inserts past `k` evict
+    * in O(log k). Serialized only at the partial→final aggregation boundary,
+    * and only ever holds ≤ k = budget rows.
+    */
+  final class TopKBuffer(var k: Long,
+      val q: scala.collection.mutable.PriorityQueue[SelCand]) extends Serializable
+
+  /** Exact per-host top-`budget` as a PARTIAL-AGGREGATING UDAF: each input
+    * partition reduces to a bounded per-host heap map-side, so the selection
+    * shuffle moves O(hostsPerPartition × budget) buffer rows — never
+    * O(pending). The window-based [[select]] shuffles every pending row by
+    * (host, salt) each wave, which at a 10^10-row frontier is a per-wave
+    * O(frontier) shuffle; this is the same exact semantics with the prune
+    * pushed into map-side combine (and skew-immune: a hot host's final merge
+    * combines ≤ P bounded heaps, not its raw rows).
+    *
+    * Requires `budget` constant per host (it is: budget derives from the
+    * host-level crawl delay in [[Robots.waveBudget]]).
+    */
+  final class TopKSelectAgg extends Aggregator[SelCand, TopKBuffer, Array[SelCand]] {
+    private def trim(b: TopKBuffer): TopKBuffer = {
+      while (b.q.size > b.k) b.q.dequeue()
+      b
+    }
+    def zero: TopKBuffer =
+      new TopKBuffer(1L, scala.collection.mutable.PriorityQueue.empty(SelOrd))
+    def reduce(b: TopKBuffer, cand: SelCand): TopKBuffer = {
+      if (cand.budget > b.k) b.k = cand.budget
+      b.q += cand
+      trim(b)
+    }
+    def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = {
+      if (b.k > a.k) a.k = b.k
+      a.q ++= b.q
+      trim(a)
+    }
+    def finish(b: TopKBuffer): Array[SelCand] = b.q.toArray.sorted(SelOrd)
+    def bufferEncoder: Encoder[TopKBuffer] = Encoders.javaSerialization[TopKBuffer]
+    def outputEncoder: Encoder[Array[SelCand]] = {
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      ExpressionEncoder[Array[SelCand]]()
+    }
+  }
+
+  /** Select this wave's batch via the partial-aggregating top-k (the
+    * crawl-engine default). Exact-equal to [[select]] (property-tested);
+    * input must carry the [[SelCand]] columns.
+    *
+    * @return SelCand columns minus budget, plus `host_rank`
+    */
+  def selectAgg(pending: DataFrame): DataFrame = {
+    val topk = udaf(new TopKSelectAgg, Encoders.product[SelCand])
+    pending
+      .groupBy(col("host"))
+      .agg(topk(col("url"), col("urlHash"), col("host"), col("depth"),
+        col("priority"), col("retries"), col("discoveredWave"),
+        col("discoveredRank"), col("parentUrl"), col("budget")).as("sel"))
+      .select(col("host"), posexplode(col("sel")).as(Seq("host_rank", "c")))
+      .select(col("c.url"), col("c.urlHash"), col("host"), col("c.depth"),
+        col("c.priority"), col("c.retries"), col("c.discoveredWave"),
+        col("c.discoveredRank"), col("c.parentUrl"),
+        col("host_rank").cast("long").as("host_rank"))
+  }
+
   def select(pending: DataFrame, saltShards: Int = 1): DataFrame = {
     val ord = Seq(
       col("priority").desc,

@@ -16,7 +16,15 @@ final case class Span(
     kind: String,      // heading | text | listitem | link | media
     text: String,      // visible text ("" for pure media spans)
     media_ref: String, // image/object URL ("" for text kinds)
-    offset: Int        // document position, 0-based, dense
+    offset: Int,       // document position, 0-based, dense
+    /** CSS class context: the element's own class attribute plus its
+      * ancestors' (outermost first), space-joined — the flat-span carrier for
+      * the reference's class-ADDRESSED selectors (`scraper.py:41` `.views-row`,
+      * `:46` `.field-content h3`, `:50` `.people-title`): a descendant
+      * selector `.c kind` becomes "kind spans whose cls contains token c".
+      * "" when no class anywhere on the path (and for non-HTML producers).
+      */
+    cls: String = ""
 )
 
 /** An interleaved text+media document (one fetched page). */

@@ -58,8 +58,11 @@ class CrawlDepth2Spec extends SparkSpec {
     val rules = Seq(
       RobotsRule(host0, Seq("/people/f0", "/people/f1"), 1.0), // deny 2 profiles
       RobotsRule(graft.urls.Urls.hostOf(seeds(1).url), Nil, 0.25)) // 4x budget
+    // rulesBroadcastMaxRows = 0 forces the shuffled-hash rules join (the
+    // millions-of-hosts regime) through the FULL engine — deny/budget
+    // semantics must be identical to the broadcast regime
     val engine = WaveRunner.run(spark, seeds, SyntheticSite.fetcher(site), rules,
-      CrawlConfig(waveSeconds = 1.0))
+      CrawlConfig(waveSeconds = 1.0, rulesBroadcastMaxRows = 0L))
     val fetched = engine.crawlOrder.collect()
       .map(r => (r.getAs[String]("host"), r.getAs[String]("url")))
     // host0: index + the two allowed profiles; f0/f1 denied

@@ -80,6 +80,9 @@ class FrontierSpec extends SparkSpec {
         .withColumn("discoveredWave", lit(0))
         .withColumn("discoveredRank", col("urlHash"))
         .withColumn("url", concat(lit("u"), col("urlHash")))
+        .withColumn("depth", lit(1))
+        .withColumn("retries", lit(0))
+        .withColumn("parentUrl", lit(""))
         .withColumn("budget", lit(4L))
       def sel(s: Int) = WaveSelector.select(df, s)
         .select("host", "host_rank", "urlHash")
@@ -91,6 +94,12 @@ class FrontierSpec extends SparkSpec {
       assert(sel(1) === expected)
       assert(sel(4) === expected, "salted two-stage selection must be exact")
       assert(sel(16) === expected)
+      // the partial-aggregating selector (the crawl-engine default) must be
+      // exact-equal to the window selector on the same input
+      val agg = WaveSelector.selectAgg(df)
+        .select("host", "host_rank", "urlHash")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(agg === expected, "partial-agg top-k selection must be exact")
     }
   }
 
@@ -153,11 +162,35 @@ class FrontierSpec extends SparkSpec {
     // shared group via consecutive UA lines
     val other = Robots.parseRobotsTxt("example.edu", txt, agent = "OtherBot")
     assert(other.denyPrefixes === Seq("/private/"))
+    // RFC 9309 product-token matching: the group's UA token is a
+    // case-insensitive PREFIX of the crawler's agent string
+    val versioned = Robots.parseRobotsTxt("example.edu", txt, agent = "GraftBot/1.0")
+    assert(versioned === RobotsRule("example.edu", Seq("/private/"), 2.5))
     // unmatched agent falls back to the * group; bad delay → default
     val anon = Robots.parseRobotsTxt("example.edu", txt, agent = "anon")
     assert(anon === RobotsRule("example.edu", Seq("/tmp"), Robots.DefaultCrawlDelayS))
     // no groups at all → conservative default
     assert(Robots.parseRobotsTxt("h", "just text") === RobotsRule("h", Nil, 1.0))
+  }
+
+  test("robots rules beyond broadcast: shuffle-join regime is plan-real and result-identical") {
+    val rules = Robots.rulesDF(spark, Seq(
+      RobotsRule("h1.com", Seq("/private"), 0.5),
+      RobotsRule("h2.com", Nil, 2.0)))
+    val frontier = Seq(
+      ("h1.com", "https://h1.com/private/x"),
+      ("h1.com", "https://h1.com/public/x"),
+      ("h2.com", "https://h2.com/anything"),
+      ("h3.com", "https://h3.com/no-rule")).toDF("host", "url")
+    def result(broadcastRules: Boolean) =
+      Robots.withRules(frontier, rules, broadcastRules)
+        .select("url", "allowed", "crawl_delay_s")
+        .collect().map(r => (r.getString(0), r.getBoolean(1), r.getDouble(2))).toSet
+    assert(result(broadcastRules = false) === result(broadcastRules = true))
+    val plan = Robots.withRules(frontier, rules, broadcastRules = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"above-threshold rules must not broadcast:\n$plan")
   }
 
   test("robots fetch: per-host robots.txt probed through the fetcher") {
