@@ -99,15 +99,23 @@ object HtmlSpans {
     val b = new StringBuilder(spans.length * 48 + 128)
     b.append("<!DOCTYPE html><html><head><title>")
       .append(escape(docId)).append("</title></head><body>\n")
+    // class context renders as the element's own class attribute (flattened —
+    // parse of the rendered page reads it back verbatim, so render∘parse
+    // stays the identity including `cls`)
+    def cls(s: Span): String =
+      if (s.cls.isEmpty) "" else " class=\"" + escape(s.cls) + "\""
     spans.sortBy(_.offset).foreach { s =>
       s.kind match {
-        case "heading"  => b.append("<h2>").append(escape(s.text)).append("</h2>\n")
-        case "text"     => b.append("<p>").append(escape(s.text)).append("</p>\n")
-        case "listitem" => b.append("<li>").append(escape(s.text)).append("</li>\n")
+        case "heading"  => b.append("<h2").append(cls(s)).append(">")
+          .append(escape(s.text)).append("</h2>\n")
+        case "text"     => b.append("<p").append(cls(s)).append(">")
+          .append(escape(s.text)).append("</p>\n")
+        case "listitem" => b.append("<li").append(cls(s)).append(">")
+          .append(escape(s.text)).append("</li>\n")
         case "link" => b.append("<a href=\"").append(escape(s.media_ref))
-          .append("\">").append(escape(s.text)).append("</a>\n")
+          .append("\"").append(cls(s)).append(">").append(escape(s.text)).append("</a>\n")
         case "media" => b.append("<img src=\"").append(escape(s.media_ref))
-          .append("\"/>\n")
+          .append("\"").append(cls(s)).append("/>\n")
         case _ => // unknown kinds are not representable; skip
       }
     }
@@ -138,22 +146,33 @@ object HtmlSpans {
   def parse(html: String): Array[Span] = {
     val n = html.length
     // span under construction: text filled at element close (blocks/links)
-    final class Proto(val kind: String, val ref: String) {
+    final class Proto(val kind: String, val ref: String, val cls: String) {
       var text: String = ""
       var buf: StringBuilder = null
     }
     val out   = ArrayBuffer.empty[Proto]
-    var stack = List.empty[(String, Proto)] // (tag, collector-or-null)
+    var stack = List.empty[(String, Proto, String)] // (tag, collector-or-null, own class)
     var nBlocksOpen = 0
     var nLinksOpen  = 0
     val bare = new StringBuilder
+
+    // class context = ancestors' class attributes outermost-first + the
+    // element's own, space-joined (the flat-span carrier for descendant
+    // selectors — see Span.cls)
+    def inheritedCls(own: String): String = {
+      val parts = (stack.reverseIterator.map(_._3) ++ Iterator(own))
+        .filter(_.nonEmpty).toList
+      if (parts.isEmpty) "" else parts.mkString(" ")
+    }
 
     def flushBare(): Unit = {
       if (bare.nonEmpty) {
         val t = bare.toString.trim
         bare.setLength(0)
         if (t.nonEmpty) {
-          val p = new Proto("text", "")
+          // bare container text inherits the enclosing containers' classes —
+          // how `.people-title`-style div text becomes class-addressable
+          val p = new Proto("text", "", inheritedCls(""))
           p.text = t
           out += p
         }
@@ -162,7 +181,7 @@ object HtmlSpans {
 
     def addText(raw: String): Unit = if (raw.nonEmpty) {
       val t = unescape(raw)
-      stack.foreach { case (_, pr) => if (pr != null) pr.buf.append(t) }
+      stack.foreach { case (_, pr, _) => if (pr != null) pr.buf.append(t) }
       // container-level run: only text that belongs to NO collector — anchor
       // text surfaces as the link span, not as a duplicate bare-text span
       if (nBlocksOpen == 0 && nLinksOpen == 0) bare.append(t)
@@ -177,7 +196,7 @@ object HtmlSpans {
       if (stack.exists(_._1 == name)) {
         if (!InlineTags.contains(name)) flushBare()
         val (above, rest) = stack.span(_._1 != name)
-        above.foreach { case (_, pr) => seal(pr) } // implicit closes
+        above.foreach { case (_, pr, _) => seal(pr) } // implicit closes
         seal(rest.head._2)
         stack = rest.tail
       } // else: stray close tag, ignore
@@ -262,27 +281,36 @@ object HtmlSpans {
             if (!selfClose) i = skipRawUntilClose(tag, i)
           } else {
             if (!InlineTags.contains(tag)) flushBare()
-            // implicit close: <p>/<li> opening while the same tag is open
-            if (BlockKinds.contains(tag) && stack.nonEmpty && stack.head._1 == tag)
-              closeTag(tag)
+            // implicit close: a <p>/<li>-family tag opening while the same tag
+            // is open with only INLINE tags in between closes it (HTML5 / bs4
+            // behavior: `<li>a<b>x<li>b` is two sibling items, the unclosed
+            // <b> does not shield the first <li> from the implicit close —
+            // closeTag pops and seals the intervening inline entries)
             if (BlockKinds.contains(tag)) {
-              val p = new Proto(BlockKinds(tag), "")
+              val boundary = stack.dropWhile(e => InlineTags.contains(e._1))
+              if (boundary.nonEmpty && boundary.head._1 == tag) closeTag(tag)
+            }
+            val ownCls = unescape(a.getOrElse("class", ""))
+            if (BlockKinds.contains(tag)) {
+              val p = new Proto(BlockKinds(tag), "", inheritedCls(ownCls))
               p.buf = new StringBuilder
               out += p
               if (selfClose) { p.text = "" }
-              else { stack ::= (tag, p); nBlocksOpen += 1 }
+              else { stack ::= (tag, p, ownCls); nBlocksOpen += 1 }
             } else if (tag == "img") {
-              a.get("src").foreach { src => out += new Proto("media", unescape(src)) }
+              a.get("src").foreach { src =>
+                out += new Proto("media", unescape(src), inheritedCls(ownCls))
+              }
             } else if (tag == "a" && a.contains("href") && !selfClose) {
-              val p = new Proto("link", unescape(a("href")))
+              val p = new Proto("link", unescape(a("href")), inheritedCls(ownCls))
               p.buf = new StringBuilder
               out += p
-              stack ::= ("a", p)
+              stack ::= ("a", p, ownCls)
               nLinksOpen += 1
             } else if (VoidTags.contains(tag) || selfClose) {
               () // void / self-closed container: no span, nothing to push
             } else {
-              stack ::= (tag, null)
+              stack ::= (tag, null, ownCls)
             }
           }
         } else {
@@ -292,13 +320,13 @@ object HtmlSpans {
       }
     }
     flushBare()
-    stack.foreach { case (_, pr) => seal(pr) } // unclosed at EOF
+    stack.foreach { case (_, pr, _) => seal(pr) } // unclosed at EOF
 
     val spans = new Array[Span](out.length)
     var k = 0
     while (k < out.length) {
       val p = out(k)
-      spans(k) = Span(p.kind, p.text, p.ref, k)
+      spans(k) = Span(p.kind, p.text, p.ref, k, p.cls)
       k += 1
     }
     spans

@@ -115,6 +115,57 @@ object SpanExtract {
     })
   }
 
+  // ---- class-addressed extraction (reference `scraper.py:41,46,50`) ----
+
+  /** True when the span's class context contains `cls` as a whitespace token.
+    * `Span.cls` carries the element's own classes plus its ancestors' (see
+    * the model), so this is the flat-span analog of a CSS descendant selector
+    * `.cls <kind>` — `hasClass(h3Span, "field-content")` matches the
+    * reference's `.field-content h3` (`scraper.py:46`).
+    */
+  def hasClass(s: Column, cls: String): Column =
+    array_contains(split(s.getField("cls"), " "), cls)
+
+  /** First span of `kind` carrying class `cls`, in document order; null
+    * struct when none (callers coalesce).
+    */
+  def firstWithClass(spans: Column, kind: String, cls: String): Column =
+    get(filter(spans, s => s.getField("kind") === kind && hasClass(s, cls)), lit(0))
+
+  /** Class-ADDRESSED faculty index rows — the reference's actual selector
+    * logic (`scraper.py:41-55`): a row is a `.views-row`-style container; the
+    * name is the `.field-content h3` heading (class-gated, so decorative
+    * headings without the class never start a row — the case where the
+    * [[indexRows]] order heuristic mis-extracts); the title is the first
+    * `.people-title` text before the next name heading (non-title body text
+    * is never misread as a title); the anchor sits inside the name element
+    * (`scraper.py:54`), so the row's link is class-gated on `nameCls` too.
+    * Same output shape as [[indexRows]].
+    */
+  def indexRowsByClass(spans: Column, nameCls: String, titleCls: String): Column = {
+    val nameHeadings = filter(spans, s =>
+      s.getField("kind") === "heading" && hasClass(s, nameCls))
+    val nextNameOffset = (off: Column) =>
+      aggregate(
+        filter(nameHeadings, s => s.getField("offset") > off),
+        lit(MaxOff), (acc, s) => least(acc, s.getField("offset")))
+    transform(nameHeadings, (h, i) => {
+      val hOff  = h.getField("offset")
+      val nextH = nextNameOffset(hOff)
+      val inRow = (s: Column) =>
+        s.getField("offset") >= hOff && s.getField("offset") < nextH
+      val link = get(filter(spans, s =>
+        s.getField("kind") === "link" && hasClass(s, nameCls) && inRow(s)), lit(0))
+      val text = get(filter(spans, s =>
+        s.getField("kind") === "text" && hasClass(s, titleCls) && inRow(s)), lit(0))
+      struct(
+        i.as("rank"),
+        h.getField("text").as("name"),
+        coalesce(text.getField("text"), lit("")).as("title"),
+        link.getField("media_ref").as("href"))
+    })
+  }
+
   /** Links on a page: array<struct<url:string, anchorKind:string, rank:bigint>>
     * — `link` spans carry the href in `media_ref` (FIXTURES.md §A1). A link is
     * "anchor" kind when it belongs to a faculty row (follows some heading),

@@ -69,24 +69,96 @@ object Ann {
       when(dot(v, plane) > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** LSH-bucketed ANN: bucket the corpus, probe only the query's bucket,
-    * exact cosine within it. Returns the per-bucket top-k for the query
-    * vector. (Recall < 1 by construction — the scale/recall tradeoff; the
-    * exact baseline above is the reference answer.)
+  /** Embedding dimensionality of the driver's `embeddings` table. */
+  val Dims = 64
+
+  // ---- materialized LSH index + multi-probe ----
+
+  /** Build the LSH bucket table — the structure a deployment materializes
+    * ONCE and probes per query (the round-2 variant re-bucketed the corpus
+    * every query): (bucket, vec_id, label, v).
     */
-  def annLshTopk(spark: SparkSession, dir: String, planes: Int = 8, k: Int = 10): DataFrame = {
-    val dims = 64
-    val e = emb(spark, dir)
-      .withColumn("v", col("embedding").cast("array<double>"))
+  def buildLshIndex(emb: DataFrame, planes: Int, dims: Int = Dims): DataFrame =
+    emb.withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("bucket", lshBucket(col("v"), planes, dims))
-    val qId = e.agg(min(col("vec_id")).as("q_id"))
-    val q = e.join(broadcast(qId), e("vec_id") === qId("q_id"))
-      .select(col("v").as("qv"), col("bucket").as("q_bucket"))
-    e.join(broadcast(q), col("bucket") === col("q_bucket"))
+      .select(col("bucket"), col("vec_id"), col("label"), col("v"))
+
+  /** Persist the bucket table partitioned BY BUCKET: a probe's
+    * `bucket IN (...)` filter becomes parquet partition pruning — at 10^10
+    * vectors a query reads only its nProbe bucket directories, never the
+    * corpus.
+    */
+  def writeLshIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  def readLshIndex(spark: SparkSession, path: String): DataFrame =
+    // partition-column inference types small bucket ids as int — restore the
+    // build-side long so probes and consumers see one stable schema
+    spark.read.parquet(path).withColumn("bucket", col("bucket").cast("long"))
+
+  /** Driver-side dot (the query vector is client-held in any ANN service). */
+  private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Multi-probe bucket sequence (Lv et al., multi-probe LSH): all buckets
+    * ordered by perturbation cost = Σ |hyperplane margin| of the flipped
+    * planes (the query's own bucket first, then the cheapest sign flips —
+    * the planes the query sits closest to). `nProbe = 2^planes` degenerates
+    * to probing everything, which is the exactness anchor the spec checks.
+    */
+  def lshProbeBuckets(qv: Array[Double], planes: Int, nProbe: Int,
+      dims: Int = Dims): Seq[Long] = {
+    val margins = Array.tabulate(planes)(p => dotLocal(qv, hyperplane(p, dims)))
+    val qBucket = (0 until planes)
+      .map(p => if (margins(p) > 0) 1L << p else 0L).reduce(_ | _)
+    (0L until (1L << planes)).map { b =>
+      val flipped = b ^ qBucket
+      var cost = 0.0
+      var p = 0
+      while (p < planes) {
+        if (((flipped >> p) & 1L) == 1L) cost += math.abs(margins(p))
+        p += 1
+      }
+      (cost, b)
+    }.sortBy(identity).take(nProbe).map(_._2)
+  }
+
+  /** Probe a materialized LSH index: exact cosine inside the query's nProbe
+    * cheapest buckets, top-k. The bucket filter is a literal IN over ≤nProbe
+    * ids — partition-pruned against [[writeLshIndex]]'s layout.
+    */
+  def lshTopkIndexed(index: DataFrame, qv: Array[Double], planes: Int,
+      nProbe: Int, k: Int): DataFrame = {
+    val buckets = lshProbeBuckets(qv, planes, nProbe)
+    val qvCol = array(qv.map(lit): _*)
+    index
+      .filter(col("bucket").isInCollection(buckets.map(Long.box)))
       .select(col("vec_id"), col("label"), col("bucket"),
-        round(cosine(col("v"), col("qv")), 4).as("cos"))
+        round(cosine(col("v"), qvCol), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Per-sf-dir scratch location for the demo queries' materialized indexes. */
+  private def indexPath(dir: String, kind: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_ann/${dir.replaceAll("[^A-Za-z0-9]", "_")}/$kind"
+
+  /** LSH ANN as a driver-contract query: build + persist the bucket table,
+    * then probe the PERSISTED index multi-probe (nProbe > 1 — recall < 1 by
+    * construction, bounded in OpsSpec; the exact baseline is [[cosineTopk]]).
+    */
+  def annLshTopk(spark: SparkSession, dir: String, planes: Int = 8,
+      nProbe: Int = 4, k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    writeLshIndex(buildLshIndex(e, planes), indexPath(dir, s"lsh_$planes"))
+    val index = readLshIndex(spark, indexPath(dir, s"lsh_$planes"))
+    val qv = e.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding").cast("array<double>")).collect()
+      .head.getSeq[Double](0).toArray
+    lshTopkIndexed(index, qv, planes, nProbe, k)
   }
 
   // ---- IVF (inverted-file) ANN ----
@@ -126,56 +198,94 @@ object Ann {
     cents
   }
 
-  /** Squared L2 distance to a centroid literal. */
-  private def l2sq(v: Column, cent: Array[Double]): Column =
-    aggregate(zip_with(v, array(cent.map(lit): _*), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** Index of the nearest centroid (argmin via struct-min — row-local,
-    * codegen'd). At real scale assignment would be a `mapPartitions` with a
-    * BLAS gemm per batch; the relational form keeps the test path UDF-free.
+  /** Train the coarse quantizer on a bounded deterministic sample and return
+    * it as a TABLE (cell, centroid) — never codegen literals: at production
+    * nlist (4k-64k) an nlist×dim literal array explodes generated-code size
+    * (the round-2 finding), while a broadcast table join is flat in nlist.
     */
-  def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =
-    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(l2sq(v, c).as("d"), lit(i).as("i"))
-    }: _*)).getField("i")
-
-  /** IVF ANN: a coarse quantizer (deterministic k-means over a bounded
-    * sample) partitions the corpus into `nlist` cells — the inverted-list
-    * table a real deployment materializes ONCE, partitioned by cell; a query
-    * probes its `nProbe` nearest cells and runs exact cosine inside them.
-    * Work per query is O(corpus × nProbe / nlist), never O(corpus).
-    *
-    * Exactness anchor: with nProbe = nlist the probe covers every cell and
-    * the result equals [[cosineTopk]] exactly (spec-tested); smaller nProbe
-    * trades recall for probe cost (recall < 1 by construction).
-    */
-  def ivfTopk(spark: SparkSession, dir: String, nlist: Int = 16,
-      nProbe: Int = 4, k: Int = 10): DataFrame = {
-    val e = emb(spark, dir).withColumn("v", col("embedding").cast("array<double>"))
-    // train on a BOUNDED deterministic sample (first 256 by vec_id) — the
-    // driver-side structure is O(sample), not O(corpus)
-    val sample = e.orderBy(col("vec_id")).limit(256)
+  def trainIvfCentroids(emb: DataFrame, nlist: Int, sampleN: Int = 256): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = emb.withColumn("v", col("embedding").cast("array<double>"))
+      .orderBy(col("vec_id")).limit(sampleN)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
-    val cents = kmeansDeterministic(sample, nlist, iters = 5)
-    val assigned = e.withColumn("cell", nearestCell(col("v"), cents))
-    // query = min vec_id; its vector is one driver-known row (any real ANN
-    // service holds the query vector client-side)
-    val qRow = e.orderBy(col("vec_id")).limit(1).select(col("v")).collect().head
-    val qv = qRow.getSeq[Double](0).toArray
-    val qCells = cents.zipWithIndex.map { case (c, i) =>
+    kmeansDeterministic(sample, nlist, iters = 5).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+  }
+
+  /** Assign every vector to its nearest centroid via a BROADCAST JOIN against
+    * the centroid table: corpus × nlist candidate rows are pre-aggregated
+    * map-side by the min_by (one shuffled row per vector), and the generated
+    * code is independent of nlist. (At real scale the inner loop would be a
+    * `mapPartitions` BLAS gemm; the relational form keeps the path UDF-free
+    * and plan-inspectable.)
+    */
+  def assignIvfCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val e = emb.withColumn("v", col("embedding").cast("array<double>"))
+    val d2 = aggregate(zip_with(col("v"), col("centroid"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    e.crossJoin(broadcast(centroids))
+      .withColumn("__d", d2)
+      .groupBy(col("vec_id"))
+      .agg(min_by(
+        struct(col("cell"), col("label"), col("v")),
+        struct(col("__d"), col("cell"))).as("c"))
+      .select(col("c.cell").as("cell"), col("vec_id"),
+        col("c.label").as("label"), col("c.v").as("v"))
+  }
+
+  /** Persist the inverted lists partitioned BY CELL (probe filters become
+    * parquet partition pruning, as in [[writeLshIndex]]).
+    */
+  def writeIvfIndex(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  def readIvfIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).withColumn("cell", col("cell").cast("int"))
+
+  /** Probe a materialized IVF index: the query's nProbe nearest cells
+    * (ranked against the collected centroid table — O(nlist) driver work,
+    * the query-planning step any ANN service runs client-side), exact cosine
+    * inside them, top-k. Work per query is O(corpus × nProbe / nlist).
+    */
+  def ivfTopkIndexed(index: DataFrame, centroids: DataFrame, qv: Array[Double],
+      nProbe: Int, k: Int): DataFrame = {
+    val qCells = centroids.collect().map { r =>
+      val c = r.getSeq[Double](r.fieldIndex("centroid")).toArray
       var d = 0.0; var j = 0
       while (j < qv.length) { val x = qv(j) - c(j); d += x * x; j += 1 }
-      (d, i)
-    }.sortBy(x => (x._1, x._2)).take(nProbe).map(_._2)
+      (d, r.getInt(r.fieldIndex("cell")))
+    }.sortBy(identity).take(nProbe).map(_._2)
     val qvCol = array(qv.map(lit): _*)
-    assigned
+    index
       .filter(col("cell").isInCollection(qCells.map(Int.box).toSeq))
       .select(col("vec_id"), col("label"), col("cell"),
         round(cosine(col("v"), qvCol), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** IVF ANN as a driver-contract query: train the quantizer, materialize
+    * centroids + inverted lists ONCE (cell-partitioned parquet), probe the
+    * persisted index.
+    *
+    * Exactness anchor: with nProbe = nlist the probe covers every cell and
+    * the result equals [[cosineTopk]] exactly (spec-tested); smaller nProbe
+    * trades recall for probe cost (recall < 1 by construction, bounded in
+    * OpsSpec).
+    */
+  def ivfTopk(spark: SparkSession, dir: String, nlist: Int = 16,
+      nProbe: Int = 4, k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    val centroids = trainIvfCentroids(e, nlist)
+    writeIvfIndex(assignIvfCells(e, centroids), indexPath(dir, s"ivf_$nlist"))
+    val index = readIvfIndex(spark, indexPath(dir, s"ivf_$nlist"))
+    val qv = e.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding").cast("array<double>")).collect()
+      .head.getSeq[Double](0).toArray
+    ivfTopkIndexed(index, centroids, qv, nProbe, k)
   }
 
   /** Embedding near-duplicate pairs on a deterministic candidate set

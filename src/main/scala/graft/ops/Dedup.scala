@@ -47,7 +47,7 @@ object Dedup {
     * MinHash/LSH feeds is this same computation).
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = TextOps.parallelized(docs(spark, dir))
     val a = d.select(col("doc_id").as("a_id"), TextOps.tokens(col("text")).as("a_toks"))
     val b = d.select(col("doc_id").as("b_id"), TextOps.tokens(col("text")).as("b_toks"))
     a.join(b, a("a_id") + 1 === b("b_id"))
@@ -131,7 +131,9 @@ object Dedup {
     * re-read + re-tokenize the full corpus twice — two extra 100 TB scans).
     */
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val toks = docs(spark, dir)
+    // parallelized: a sub-split-size corpus file would otherwise run the
+    // tokenize AND the 32-hash signature build on ONE core (see TextOps)
+    val toks = TextOps.parallelized(docs(spark, dir))
       .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("toks"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val d = toks.select(col("doc_id"), minhashSignatureFromTokens(col("toks")).as("sig"))
@@ -199,7 +201,7 @@ object Dedup {
     * shuffle carries only surviving pairs.
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val d = docs(spark, dir)
+    val d = TextOps.parallelized(docs(spark, dir))
       .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("toks"))
       .select(col("doc_id"), simhashFromTokens(col("toks")).as("sh"))
     val banded = d.select(col("doc_id"), col("sh"), posexplode(

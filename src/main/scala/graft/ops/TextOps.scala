@@ -13,6 +13,21 @@ object TextOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Spread expensive per-row stages (regex tokenize, hash signatures) across
+    * the session's cores when the scan yields fewer input splits than that:
+    * a sub-`maxPartitionBytes` parquet file is ONE split, which serializes
+    * every downstream per-row stage onto one core (measured: the whole sf0.1
+    * TF-IDF tokenize ran single-threaded behind a 0.6 MB file). The
+    * repartition is deliberately CONDITIONAL — at real data scale the scan
+    * already has ≥ cores splits and this is a no-op, so no gratuitous
+    * full-corpus shuffle is ever added. Same lesson as the crawl fetch stage:
+    * size expensive per-row stages by work units, not input bytes.
+    */
+  private[ops] def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Shared token definition (parity-critical with the DuckDB oracles):
     * lowercase alphabetic runs. Mirrors the reference's fallback tokenizer
     * (`matcher.py:295-304`: `\b[a-zA-Z]{3,}\b` minus stopwords — here the
@@ -123,7 +138,7 @@ object TextOps {
     * the table's `lang` column.
     */
   def langId(spark: SparkSession, dir: String): DataFrame =
-    withPredictedLang(docs(spark, dir), tokens(col("text")))
+    withPredictedLang(parallelized(docs(spark, dir)), tokens(col("text")))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
 
@@ -160,7 +175,7 @@ object TextOps {
     val stopHits = size(filter(tks,
       t => t.isin(Stopwords.map(_.asInstanceOf[Any]): _*))).cast("long")
     val sumLen = aggregate(tks, lit(0), (acc, t) => acc + length(t)).cast("long")
-    docs(spark, dir)
+    parallelized(docs(spark, dir))
       .withColumn("__nw", nWords)
       .withColumn("__sh", stopHits)
       .withColumn("__sl", sumLen)
@@ -194,7 +209,7 @@ object TextOps {
     * pipeline.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    parallelized(docs(spark, dir))
       .withColumn("fp",
         substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 16))
       .groupBy(col("fp"))
@@ -223,7 +238,13 @@ object TextOps {
     // hash), not a groupBy + self-semi-join — the join form reads the corpus
     // twice; this is one scan + one hash-partitioned shuffle
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val base = d0.withColumn("__rn", row_number().over(w))
+    // explicit hash repartition on the window key: it satisfies the window's
+    // clustering requirement AND pins the post-shuffle parallelism — AQE
+    // would coalesce this sub-MB exchange to ~1 partition and serialize the
+    // tokenize/scoring stages that follow it
+    val P = spark.sparkContext.defaultParallelism
+    val base = d0.repartition(P, md5(col("text")))
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       // hoist tokens into an attribute — every stat below references it
       .withColumn("__tks", tokens(col("text")))
@@ -296,51 +317,76 @@ object TextOps {
     * ln((N+1)/(df+1))+1, L2-normalized weights, cosine vs the query vector.
     * Top 20.
     *
-    * Shuffle profile at scale: one shuffle for tf (groupBy doc,term), one for
-    * the vocab/df agg (groupBy term), vocab + query-side vectors broadcast
-    * (≤5000 rows / 1 doc), final top-k via TakeOrderedAndProject. The `tf`,
-    * `w`, and `norms` lineages are each consumed more than once, so all three
-    * are persisted — unpersisted, Spark re-executes the tokenize→explode→agg
-    * chain per consumer (measured 3 corpus scans; at 100 TB that is the whole
-    * job). Sessions running many queries release via `clearCache()`.
+    * Cost model (the round-2 regression fix): the corpus text is tokenized
+    * EXACTLY ONCE and `tf` is the ONLY materialization — everything
+    * downstream (weights, norms, the query vector, the dot products) is a
+    * broadcast-join + aggregate re-derivation over the cached `tf`, which is
+    * orders of magnitude narrower than the text it came from. Persisting the
+    * derived `w`/`norms` lineages too (round 2) tripled the materialized
+    * volume for intermediates that cost one cache pass to recompute.
+    * Corpus size and the query id come from ONE doc_id-only scan (they are
+    * deliberately NOT derived from `tf`: a document tokenizing to zero terms
+    * is absent there, and the reference's N counts it). Shuffle profile at
+    * scale: one shuffle for tf, one for the vocab agg, top-k via
+    * TakeOrderedAndProject; vocab/query vectors broadcast (≤5000 rows).
+    * Sessions running many queries release the cache via `clearCache()`.
     */
   def tfidfCosine(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val d = docs(spark, dir)
+    def terms(df: DataFrame): DataFrame = df
       .select(col("doc_id"), nonStopTokens(col("text")).as("toks"))
       .select(col("doc_id"),
         concat(col("toks"), bigrams(col("toks"))).as("terms"))
-    val tf = d.select(col("doc_id"), explode(col("terms")).as("term"))
+    val tf = terms(parallelized(docs(spark, dir)))
+      .select(col("doc_id"), explode(col("terms")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // vocabulary cap + document frequency in ONE pass over tf
+    // vocabulary cap + document frequency in ONE pass over tf; persisted
+    // (5000 rows) — consumed by both the query-vector and corpus weight plans
     val vocab = tf.groupBy(col("term"))
       .agg(sum(col("tf")).as("cnt"), count(lit(1)).as("df"))
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(MaxFeatures)
       .select(col("term"), col("df"))
-    val n = docs(spark, dir).agg(count(lit(1)).as("n"))
-    val w = tf.join(broadcast(vocab), "term")
-      .crossJoin(broadcast(n))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // corpus size + query id: one skinny doc_id-only scan, collected (two
+    // scalars) so they fold into downstream plans as LITERALS — q_id becomes
+    // a pushed parquet filter for the query-vector scan, and no
+    // crossJoin/broadcast jobs exist just to ship two numbers. Deliberately
+    // NOT derived from tf: a document tokenizing to zero terms is absent
+    // there, and the reference's N counts it.
+    val meta = docs(spark, dir)
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("q_id")).head()
+    val nDocs = meta.getLong(0)
+    val qId   = meta.get(1)
+    def weighted(tfDf: DataFrame): DataFrame = tfDf
+      .join(broadcast(vocab), "term")
       .withColumn("w",
-        col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0))
-      .select(col("doc_id"), col("term"), col("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val norms = w.groupBy(col("doc_id"))
-      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val qId = docs(spark, dir).agg(min(col("doc_id")).as("q_id"))
-    val qw = w.join(broadcast(qId), w("doc_id") === qId("q_id"))
-      .select(col("term"), col("w").as("qw"))
-    val qNorm = norms.join(broadcast(qId), norms("doc_id") === qId("q_id"))
-      .select(col("norm").as("q_norm"))
-    w.join(broadcast(qw), "term")
+        col("tf") * (log(lit(nDocs + 1.0) / (col("df") + 1.0)) + 1.0))
+    // query vector: ONE document via pushed-filter scan — never a corpus
+    // pass; ≤ MaxFeatures rows by construction, collected so the query norm
+    // is a literal and the vector broadcasts from a local relation
+    val qRows = weighted(
+      terms(docs(spark, dir).filter(col("doc_id") === lit(qId)))
+        .select(explode(col("terms")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("tf")))
+      .select(col("term"), col("w")).collect()
+    val qNorm = math.sqrt(qRows.map(r => r.getDouble(1) * r.getDouble(1)).sum)
+    import spark.implicits._
+    val qw = qRows.map(r => (r.getString(0), r.getDouble(1))).toSeq.toDF("term", "qw")
+    // dot AND norm in ONE aggregation over one tf-cache pass: the left join
+    // gives non-shared terms an exact +0.0 dot contribution (IEEE: x+0.0 == x,
+    // so the sum is bit-identical to the inner-join form), and dot > 0 ⟺ the
+    // doc shares ≥1 vocab term with the query (every shared term contributes
+    // ≥ 1), so the filter reproduces the inner-join row set exactly.
+    weighted(tf)
+      .join(broadcast(qw), Seq("term"), "left")
       .groupBy(col("doc_id"))
-      .agg(sum(col("w") * col("qw")).as("dot"))
-      .join(norms, "doc_id")
-      .crossJoin(broadcast(qNorm))
+      .agg(sum(col("w") * coalesce(col("qw"), lit(0.0))).as("dot"),
+        sqrt(sum(col("w") * col("w"))).as("norm"))
+      .filter(col("dot") > 0)
       .select(col("doc_id"),
-        round(col("dot") / (col("norm") * col("q_norm")), 4).as("cosine"))
+        round(col("dot") / (col("norm") * lit(qNorm)), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("doc_id").asc)
       .limit(20)
   }

@@ -131,4 +131,50 @@ class ExtractSpec extends SparkSpec {
     assert(a.getSeq[String](1) === b.getSeq[String](1))
     assert(a.getSeq[String](2) === b.getSeq[String](2))
   }
+  test("class-addressed index rows follow the reference selectors where the order heuristic mis-extracts") {
+    // a decorative sidebar heading ("Latest News") and its teaser text sit
+    // between faculty rows: the order heuristic treats the heading as a
+    // faculty row and steals the teaser as a title; the class-addressed path
+    // (scraper.py:41-55: .views-row / .field-content h3 / .people-title)
+    // never sees them
+    val spans = Seq(
+      Span("heading", "Latest News", "", 0, "sidebar"),
+      Span("text", "Grant awarded to the lab", "", 1, "sidebar teaser"),
+      Span("heading", "Jane Doe", "", 2, "views-row field-content"),
+      Span("link", "Jane Doe", "/people/jane-doe", 3, "views-row field-content"),
+      Span("text", "Professor", "", 4, "views-row people-title"),
+      Span("heading", "Bob Roe", "", 5, "views-row field-content"),
+      Span("link", "Bob Roe", "/people/bob-roe", 6, "views-row field-content"),
+      Span("text", "Lecturer", "", 7, "views-row people-title"))
+    val df = spansDF(spans)
+    val ordered = df.select(explode(
+      SpanExtract.indexRows(SpanExtract.sortedSpans(col("spans")))).as("r"))
+      .select("r.name", "r.title", "r.href").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val byClass = df.select(explode(
+      SpanExtract.indexRowsByClass(SpanExtract.sortedSpans(col("spans")),
+        "field-content", "people-title")).as("r"))
+      .select("r.name", "r.title", "r.href").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // the class-addressed answer is the reference's
+    assert(byClass.toSeq === Seq(
+      ("Jane Doe", "Professor", "/people/jane-doe"),
+      ("Bob Roe", "Lecturer", "/people/bob-roe")))
+    // and the order heuristic demonstrably diverges on this page
+    assert(ordered.toSeq !== byClass.toSeq)
+    assert(ordered.head === ("Latest News", "Grant awarded to the lab", null))
+  }
+
+  test("hasClass matches whitespace tokens of own + inherited classes only") {
+    val spans = Seq(
+      Span("text", "a", "", 0, "views-row people-title"),
+      Span("text", "b", "", 1, "people-title-extra"), // not a token match
+      Span("text", "c", "", 2, ""))
+    val got = spansDF(spans).select(
+      transform(SpanExtract.sortedSpans(col("spans")),
+        s => SpanExtract.hasClass(s, "people-title")).as("m"))
+      .collect().head.getSeq[Boolean](0)
+    assert(got === Seq(true, false, false))
+  }
+
 }

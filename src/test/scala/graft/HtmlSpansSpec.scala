@@ -33,6 +33,36 @@ class HtmlSpansSpec extends AnyFunSuite {
     assert(HtmlSpans.parse(HtmlSpans.render("d", spans)).toSeq === spans.toSeq)
   }
 
+  test("roundtrip preserves class context (cls renders as class attributes)") {
+    val spans = Array(
+      Span("heading", "Jane Doe", "", 0, "views-row field-content"),
+      Span("link", "Jane Doe", "/people/jane-doe", 1, "views-row field-content"),
+      Span("text", "Professor & Chair", "", 2, "views-row people-title"),
+      Span("media", "", "/i.png", 3, "views-row"),
+      Span("listitem", "Paper One", "", 4, ""))
+    assert(HtmlSpans.parse(HtmlSpans.render("d", spans)).toSeq === spans.toSeq)
+  }
+
+  test("parse captures own + inherited classes (descendant-selector carrier)") {
+    val html =
+      """<body>
+        |<div class="views-row">
+        |  <div class='field-content'><h3><a href="/people/jane">Jane Doe</a></h3></div>
+        |  <div class="people-title">Professor</div>
+        |  <img src="/jane.png" class="portrait">
+        |</div>
+        |<h2>No classes here</h2>
+        |</body>""".stripMargin
+    val spans = HtmlSpans.parse(html)
+    val byKind = spans.map(s => (s.kind, s.text, s.cls)).toSeq
+    assert(byKind === Seq(
+      ("heading", "Jane Doe", "views-row field-content"),
+      ("link", "Jane Doe", "views-row field-content"),
+      ("text", "Professor", "views-row people-title"),
+      ("media", "", "views-row portrait"),
+      ("heading", "No classes here", "")))
+  }
+
   test("hand-written faculty index page (scraper.py:41-55 structures)") {
     // mirrors the reference's selector targets: .views-row containers,
     // .field-content h3 with a nested profile anchor, .people-title div text
@@ -104,6 +134,17 @@ class HtmlSpansSpec extends AnyFunSuite {
       ("text", "a A&B b", ""),   // numeric + named entities; implicit close
       ("text", "second", ""),
       ("media", "", "pix/i.jpg")))
+  }
+
+  test("implicit li/p close fires across an unclosed inline tag (HTML5/bs4 parity)") {
+    // `<li>a<b>x<li>b`: the open <b> must not shield the first <li> — two
+    // sibling items, no duplicated text (the pre-fix parser nested them)
+    val li = HtmlSpans.parse("<ul><li>a<b>x<li>b</li></ul>")
+    assert(li.map(s => (s.kind, s.text)).toSeq ===
+      Seq(("listitem", "ax"), ("listitem", "b")))
+    val p = HtmlSpans.parse("<div><p>one<em>fine</em><p>two</p></div>")
+    assert(p.map(s => (s.kind, s.text)).toSeq ===
+      Seq(("text", "onefine"), ("text", "two")))
   }
 
   test("nested find_next('div') shape: bio text after a heading (scraper.py:125)") {

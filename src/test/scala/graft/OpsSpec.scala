@@ -107,12 +107,44 @@ class OpsSpec extends SparkSpec {
     assert(part.head.getAs[Double]("cos") === 1.0)
   }
 
-  test("LSH ANN: query's bucket contains the query; results ⊆ brute-force corpus") {
-    val got = Ann.annLshTopk(spark, sf, planes = 6, k = 5).collect()
-    assert(got.nonEmpty)
-    assert(got.head.getAs[Double]("cos") === 1.0)
-    assert(got.map(_.getAs[Long]("bucket")).distinct.length === 1,
-      "all results from the query's bucket")
+  test("LSH ANN: single probe stays in the query bucket; full probe == exact; multi-probe recall bound") {
+    val planes = 6
+    // single probe: the query's own bucket only (contains the query itself)
+    val one = Ann.annLshTopk(spark, sf, planes = planes, nProbe = 1, k = 5).collect()
+    assert(one.nonEmpty)
+    assert(one.head.getAs[Double]("cos") === 1.0)
+    assert(one.map(_.getAs[Long]("bucket")).distinct.length === 1,
+      "single probe must stay in the query's bucket")
+    // full probe (nProbe = 2^planes) covers every bucket of the PERSISTED
+    // index → must equal the exact brute-force baseline
+    val exact = Ann.cosineTopk(spark, sf, k = 10)
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Ann.annLshTopk(spark, sf, planes = planes, nProbe = 1 << planes, k = 10)
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === exact, "full-probe LSH must reproduce the exact baseline")
+    // multi-probe: flipping the lowest-margin planes must recover a useful
+    // fraction of the exact top-k at a fraction of the corpus read
+    val multi = Ann.annLshTopk(spark, sf, planes = planes, nProbe = 8, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.map(_._1).count(multi.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"multi-probe recall too low: $recall")
+  }
+
+  test("LSH ANN: probes run against the persisted index without rebuilding") {
+    val planes = 6
+    val tmp = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    Ann.writeLshIndex(Ann.buildLshIndex(e, planes), tmp)
+    val index = Ann.readLshIndex(spark, tmp)
+    // two different queries probe the SAME persisted table — no rebuild
+    val vecs = e.orderBy(col("vec_id")).limit(2)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    vecs.foreach { qv =>
+      val got = Ann.lshTopkIndexed(index, qv, planes, nProbe = 4, k = 5).collect()
+      assert(got.nonEmpty)
+      assert(got.head.getAs[Double]("cos") === 1.0) // each query finds itself
+    }
   }
 
   test("language-ID heuristic: obvious marker texts classify correctly") {
