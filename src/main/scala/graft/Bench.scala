@@ -178,9 +178,22 @@ object Bench {
 
     // 1. headline queries at the driver-provided parallelism
     val spark = session(cpus)
-    // warmup: session/codegen/parquet-footer costs stay out of q1's timing
-    SparkEntry.queries("q_agg_lineitem")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+    // Warmup: one cheap representative query per TABLE FAMILY, so session,
+    // codegen/JIT, and parquet-footer first-touch costs stay out of every
+    // query's timing — not just the lineitem family's. (Protocol note,
+    // bench_schema 3: rounds 1-2 warmed only q_agg_lineitem, so whichever
+    // query FIRST touched `documents` absorbed the corpus tokenizer's
+    // multi-second JIT — in both rounds that was q_tfidf_cosine, inflating
+    // its recorded time by ~3-5 s vs its warmed cost. BENCH.md reports both
+    // warmed and solo-cold numbers for it alongside the recorded one.)
+    Seq("q_agg_lineitem",   // lineitem/orders family
+        "q_token_stats",    // documents family + tokenizer codegen
+        "q_cosine_topk",    // embeddings family + vector HOFs
+        "q_events_window")  // events family
+      .foreach { w =>
+        SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
     val results = (if (crawlOnly) Seq.empty[String] else headline).map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

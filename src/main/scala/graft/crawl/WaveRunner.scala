@@ -108,6 +108,15 @@ object WaveRunner {
         * `frontierDeltaMaxRows` × ~16 B fits comfortably in executor memory.
         */
       frontierDeltaMaxRows: Long = 1L << 22,
+      /** Key-set anti-joins against the bounded delta/batch accumulators use
+        * a BROADCAST below this many rows (no shuffle, but the driver
+        * collects+ships the keys — serial time) and degrade to a shuffled
+        * hash join above it (fully parallel; the stable side's partitioning
+        * is reused). Measured crossover on the bench crawl: a 440k-key
+        * broadcast costs ~0.5 s of serial driver time per wave that the
+        * shuffle path spends in parallel.
+        */
+      deltaBroadcastMaxRows: Long = 1L << 17,
       /** Robots-rules join regime bound (static, like the Bloom residency):
         * rule sets with ≤ this many rows broadcast-join onto the frontier;
         * above it (millions of hosts) the join degrades to a shuffled hash
@@ -273,9 +282,33 @@ object WaveRunner {
     var deltaState  = union(spark, Nil, FrontierDdl) // empty until a wave commits
     var deltaRowsBound = 0L  // upper bound on |deltaState| (drives compaction)
     val seenAccParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var seenAccRows  = 0L
+    var fetchedSinceCompaction = 0L
+    // keys SELECTED into a batch since the last compaction — the only base
+    // rows a delta can supersede (discoveries never enter the base between
+    // compactions), bounded by the politeness budgets and typically far
+    // smaller than deltaState. Derived from the CHECKPOINTED deltaState (a
+    // fetched key's latest state is fetched/error/pending-retry), never from
+    // per-wave `fetched` views — a view over wave w's fetch plan references
+    // wave w-1's views through the pending lineage, and plans grow
+    // exponentially (persist caches data, not plans).
+    def batchKeysSinceCompaction: DataFrame = deltaState
+      .filter(col("status") =!= FrontierStatus.Pending || col("retries") > 0)
+      .select(col("urlHash"))
     val doneDeltas   = scala.collection.mutable.ArrayBuffer(doneDeltas0: _*)
     def seenAcc: Option[DataFrame] =
       seenAccParts.reduceOption(_ unionByName _)
+
+    // bounded-key-set anti-join: broadcast below the configured bound (no
+    // shuffle, but serial driver collect+ship), shuffled hash join above it
+    // (parallel; a hash-partitioned left reuses its partitioning)
+    def antiKeys(left: DataFrame, keys: DataFrame, keyCol: String,
+        rowsBound: Long): DataFrame = {
+      val right =
+        if (rowsBound <= cfg.deltaBroadcastMaxRows) broadcast(keys)
+        else keys.hint("shuffle_hash")
+      left.join(right, Seq(keyCol), "left_anti")
+    }
 
     // URL-seen Bloom state, residency chosen statically from the configured
     // sizing (cfg.bloomBroadcastable, like Spark's broadcast-join threshold):
@@ -348,11 +381,16 @@ object WaveRunner {
     var totalFetches = 0L
     while (!done && wave < cfg.maxWaves) {
       // live pending view: untouched base rows + touched keys' latest state.
-      // The base side is a SCAN (its partitioning/caching is stable); only
-      // the bounded delta keys move, as a broadcast.
-      val deltaKeys = deltaState.select(col("urlHash"))
-      val pending = basePending
-        .join(broadcast(deltaKeys), Seq("urlHash"), "left_anti")
+      // The base side is a SCAN (its partitioning/caching is stable); the
+      // only keys that move are the batch keys selected since compaction —
+      // the sole base rows a delta can supersede — which are budget-bounded
+      // and usually a small fraction of deltaState (discoveries live only in
+      // the delta union below, they never need an anti-join).
+      val basePart =
+        if (fetchedSinceCompaction == 0L) basePending
+        else antiKeys(basePending, batchKeysSinceCompaction, "urlHash",
+          fetchedSinceCompaction)
+      val pending = basePart
         .unionByName(deltaState)
         .filter(col("status") === FrontierStatus.Pending &&
           col("retries") <= cfg.maxRetries)
@@ -451,12 +489,14 @@ object WaveRunner {
         // The exact rescue never rewrites the seen set: it anti-joins the
         // stable seenBase (partitioning reused) and broadcast-anti-joins the
         // bounded accumulator of post-compaction discoveries.
+        val seenAccBcast = seenAccRows <= cfg.deltaBroadcastMaxRows
         val unseen =
           (if (bloomBroadcast)
-            UrlSeen.filterUnseen(candidates, seenBase, seenAcc, bloomDriver)
+            UrlSeen.filterUnseen(candidates, seenBase, seenAcc, bloomDriver,
+              seenAccBcast)
           else
             UrlSeen.filterUnseenSharded(candidates, seenBase, seenAcc,
-              bloomTable, cfg.bloomShards))
+              bloomTable, cfg.bloomShards, seenAccBcast))
             .persist(StorageLevel.MEMORY_AND_DISK)
         val seenDelta = unseen.select(col("url_hash"), col("url"))
         // buildBloom runs in a Future — it only READS the state vars and
@@ -521,14 +561,14 @@ object WaveRunner {
             sum(col("fetchMs")).as("fetchMsTotal"))
             .withColumn("urlsEnqueued", lit(unseenCount))
 
-        // deltaState' = deltaState ⧹ keys(waveDelta) ∪ waveDelta. Anti-joining
-        // the full waveDelta key set (not just the batch keys) is equivalent —
-        // newEntries keys are unseen, so they cannot already be in deltaState —
-        // and lets the snapshot path build the transition purely from the
-        // committed delta, decoupling it from the per-wave caches.
-        def nextDeltaState(delta: DataFrame): DataFrame =
-          deltaState
-            .join(broadcast(delta.select(col("urlHash"))), Seq("urlHash"), "left_anti")
+        // deltaState' = deltaState ⧹ batchKeys ∪ waveDelta. Only the BATCH
+        // keys need the anti-join (newEntries are unseen, so they cannot
+        // already be in deltaState), and an empty deltaState skips the join —
+        // and its key shipping — entirely (every first wave after a
+        // compaction, including discovery-heavy wave 0).
+        def nextDeltaState(delta: DataFrame, batchKeys: DataFrame): DataFrame =
+          if (deltaRowsBound == 0L) delta
+          else antiKeys(deltaState, batchKeys, "urlHash", batchCount)
             .select(deltaState.columns.map(col): _*)
             .unionByName(delta)
 
@@ -541,8 +581,14 @@ object WaveRunner {
             st.commitWave(wave, waveDelta, seenDelta, docsDelta, orderDelta,
               metricsDelta)
             val waveDeltaDisk = st.readDelta(wave, "frontier_delta")
+            // batch keys = the finished rows of the committed delta (new
+            // entries carry discoveredWave = wave+1, finished rows ≤ wave) —
+            // disk-backed so no per-wave cache is pinned
+            val batchKeysDisk = waveDeltaDisk
+              .filter(col("discoveredWave") <= lit(wave))
+              .select(col("urlHash"))
             deltaState = phase("delta-ckpt", wave) {
-              nextDeltaState(waveDeltaDisk).localCheckpoint(true)
+              nextDeltaState(waveDeltaDisk, batchKeysDisk).localCheckpoint(true)
             }
             seenAccParts += st.readDelta(wave, "seen_delta")
             docsDeltas += st.readDelta(wave, "docs_delta")
@@ -565,7 +611,10 @@ object WaveRunner {
             // wave's seen-accumulator plan, and plans would grow recursively
             // (persist caches data, not plans)
             val (ds2, sd2, n) = phase("delta-ckpt+bloom", wave) {
-              val df = Future { nextDeltaState(waveDelta).localCheckpoint(true) }
+              val df = Future {
+                nextDeltaState(waveDelta, fetched.select(col("urlHash")))
+                  .localCheckpoint(true)
+              }
               val sf = Future { seenDelta.localCheckpoint(true) }
               val bf = Future { buildBloom() }
               (Await.result(df, Duration.Inf), Await.result(sf, Duration.Inf),
@@ -591,6 +640,8 @@ object WaveRunner {
           seenTotal += unseenCount
         }
         deltaRowsBound += batchCount + unseenCount
+        fetchedSinceCompaction += batchCount
+        seenAccRows += unseenCount
 
         // -- compaction: fold deltas into new base tables — the ONLY
         // O(frontier) shuffle in the engine, amortized over the waves between
@@ -599,8 +650,7 @@ object WaveRunner {
         if (deltaRowsBound > cfg.frontierDeltaMaxRows) {
           phase("compaction", wave) {
             val dk = deltaState.select(col("urlHash"))
-            val newBasePending = basePending
-              .join(broadcast(dk), Seq("urlHash"), "left_anti")
+            val newBasePending = antiKeys(basePending, dk, "urlHash", deltaRowsBound)
               .select(basePending.columns.map(col): _*)
               .unionByName(deltaState.filter(col("status") === FrontierStatus.Pending))
               .repartition(P, col("urlHash"))
@@ -622,7 +672,8 @@ object WaveRunner {
             basePending.unpersist(); basePending = bp2
             if (!(sb2 eq seenBase)) { seenBase.unpersist(); seenBase = sb2 }
             deltaState = union(spark, Nil, FrontierDdl)
-            seenAccParts.clear()
+            seenAccParts.clear(); seenAccRows = 0L
+            fetchedSinceCompaction = 0L
             deltaRowsBound = 0L
           }
         }
@@ -667,8 +718,7 @@ object WaveRunner {
     }
     if (!bloomBroadcast) cached += bloomTable.toDF() // released with the result
     val deltaKeysF = deltaState.select(col("urlHash"))
-    val frontierFinal = basePending
-      .join(broadcast(deltaKeysF), Seq("urlHash"), "left_anti")
+    val frontierFinal = antiKeys(basePending, deltaKeysF, "urlHash", deltaRowsBound)
       .select(basePending.columns.map(col): _*)
       .unionByName(deltaState)
       .unionByName(union(spark, doneDeltas.toSeq, FrontierDdl))

@@ -237,25 +237,32 @@ object UrlSeen {
     * or rewrites the cumulative seen set.
     */
   def filterUnseen(candidates: DataFrame, seenBase: DataFrame,
-      seenAcc: Option[DataFrame], bloom: SeenPreFilter): DataFrame = {
+      seenAcc: Option[DataFrame], bloom: SeenPreFilter,
+      accBroadcastable: Boolean = true): DataFrame = {
     val spark = candidates.sparkSession
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContain(h))
     val flagged = candidates.withColumn("__maybe_seen", mightContain(col("url_hash")))
     val fastPath = flagged.filter(!col("__maybe_seen")).drop("__maybe_seen")
     val needExact = flagged.filter(col("__maybe_seen")).drop("__maybe_seen")
-    val rescued = antiSeen(needExact, seenBase, seenAcc)
+    val rescued = antiSeen(needExact, seenBase, seenAcc, accBroadcastable)
     fastPath.unionByName(rescued)
   }
 
   private def antiSeen(needExact: DataFrame, seenBase: DataFrame,
-      seenAcc: Option[DataFrame]): DataFrame = {
+      seenAcc: Option[DataFrame], accBroadcastable: Boolean): DataFrame = {
     val vsBase = needExact.join(
       seenBase.select(col("url_hash")).hint("shuffle_hash"),
       Seq("url_hash"), "left_anti")
     seenAcc match {
-      case Some(acc) => vsBase.join(broadcast(acc.select(col("url_hash"))),
-        Seq("url_hash"), "left_anti")
+      case Some(acc) =>
+        // the accumulator broadcasts while bounded-small; above the engine's
+        // threshold it degrades to a shuffled hash join (parallel, no serial
+        // driver collect) — the caller knows the row bound, we don't
+        val accKeys = acc.select(col("url_hash"))
+        val right = if (accBroadcastable) broadcast(accKeys)
+                    else accKeys.hint("shuffle_hash")
+        vsBase.join(right, Seq("url_hash"), "left_anti")
       case None => vsBase
     }
   }
@@ -275,7 +282,8 @@ object UrlSeen {
     * base+accumulator split rationale.
     */
   def filterUnseenSharded(candidates: DataFrame, seenBase: DataFrame,
-      seenAcc: Option[DataFrame], blooms: Dataset[BloomShard], nShards: Int): DataFrame = {
+      seenAcc: Option[DataFrame], blooms: Dataset[BloomShard], nShards: Int,
+      accBroadcastable: Boolean = true): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val withShard = candidates.withColumn("__shard",
@@ -299,7 +307,7 @@ object UrlSeen {
     }(Encoders.row(outSchema))
     val fastPath  = flagged.filter(!col("__maybe_seen")).drop("__maybe_seen", "__shard")
     val needExact = flagged.filter(col("__maybe_seen")).drop("__maybe_seen", "__shard")
-    val rescued = antiSeen(needExact, seenBase, seenAcc)
+    val rescued = antiSeen(needExact, seenBase, seenAcc, accBroadcastable)
     fastPath.unionByName(rescued)
   }
 }
