@@ -281,9 +281,15 @@ object WaveRunner {
     var seenBase    = seenBase0.persist(StorageLevel.MEMORY_AND_DISK)
     var deltaState  = union(spark, Nil, FrontierDdl) // empty until a wave commits
     var deltaRowsBound = 0L  // upper bound on |deltaState| (drives compaction)
-    val seenAccParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var seenAccRows  = 0L
     var fetchedSinceCompaction = 0L
+    // discoveredWave watermark of the last compaction: rows discovered after
+    // it (discoveredWave > seenSinceWave) are exactly the seen-set additions
+    // not yet folded into seenBase — so the seen ACCUMULATOR derives from the
+    // checkpointed deltaState for free (no per-wave seen checkpoint job; a
+    // fetched discovery keeps its discoveredWave, a base retry keeps its
+    // pre-compaction one)
+    var seenSinceWave = startWave
     // keys SELECTED into a batch since the last compaction — the only base
     // rows a delta can supersede (discoveries never enter the base between
     // compactions), bounded by the politeness budgets and typically far
@@ -297,7 +303,9 @@ object WaveRunner {
       .select(col("urlHash"))
     val doneDeltas   = scala.collection.mutable.ArrayBuffer(doneDeltas0: _*)
     def seenAcc: Option[DataFrame] =
-      seenAccParts.reduceOption(_ unionByName _)
+      if (seenAccRows == 0L) None
+      else Some(deltaState.filter(col("discoveredWave") > lit(seenSinceWave))
+        .select(col("urlHash").as("url_hash"), col("url")))
 
     // bounded-key-set anti-join: broadcast below the configured bound (no
     // shuffle, but serial driver collect+ship), shuffled hash join above it
@@ -590,7 +598,6 @@ object WaveRunner {
             deltaState = phase("delta-ckpt", wave) {
               nextDeltaState(waveDeltaDisk, batchKeysDisk).localCheckpoint(true)
             }
-            seenAccParts += st.readDelta(wave, "seen_delta")
             docsDeltas += st.readDelta(wave, "docs_delta")
             orderDeltas += st.readDelta(wave, "order_delta")
             metricsDeltas += st.readDelta(wave, "metrics_delta")
@@ -606,22 +613,15 @@ object WaveRunner {
             // manager serializes per-partition), overlapping fills stage
             // tails AND hides the bloom plan's driver-side compile under
             // executor work.
-            // the seen DELTA is checkpointed too (O(batch)) — kept as a plan
-            // view it would nest the whole wave pipeline inside the next
-            // wave's seen-accumulator plan, and plans would grow recursively
-            // (persist caches data, not plans)
-            val (ds2, sd2, n) = phase("delta-ckpt+bloom", wave) {
+            val (ds2, n) = phase("delta-ckpt+bloom", wave) {
               val df = Future {
                 nextDeltaState(waveDelta, fetched.select(col("urlHash")))
                   .localCheckpoint(true)
               }
-              val sf = Future { seenDelta.localCheckpoint(true) }
               val bf = Future { buildBloom() }
-              (Await.result(df, Duration.Inf), Await.result(sf, Duration.Inf),
-                Await.result(bf, Duration.Inf))
+              (Await.result(df, Duration.Inf), Await.result(bf, Duration.Inf))
             }
             deltaState = ds2
-            seenAccParts += sd2
             docsDeltas += docsDelta
             orderDeltas += orderDelta
             metricsDeltas += mkMetricsDelta(n)
@@ -672,7 +672,7 @@ object WaveRunner {
             basePending.unpersist(); basePending = bp2
             if (!(sb2 eq seenBase)) { seenBase.unpersist(); seenBase = sb2 }
             deltaState = union(spark, Nil, FrontierDdl)
-            seenAccParts.clear(); seenAccRows = 0L
+            seenAccRows = 0L; seenSinceWave = wave + 1
             fetchedSinceCompaction = 0L
             deltaRowsBound = 0L
           }

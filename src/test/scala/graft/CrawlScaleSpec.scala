@@ -81,15 +81,18 @@ class CrawlScaleSpec extends SparkSpec {
     (order, seen, frontier, docs)
   }
 
-  test("forced every-wave compaction leaves crawl state bit-identical") {
+  test("forced every-wave compaction leaves crawl state bit-identical (incl. retries)") {
+    // maxRetries > 0 exercises retry rows crossing a compaction boundary:
+    // a pending-retry row folded into the base must be re-selected and its
+    // attempts counted exactly as in the uncompacted run
     val site    = SiteConfig(universities = 2, deptsPerU = 2, facultyPerDept = 5,
       errorFraction = 0.2)
     val seeds   = SyntheticSite.seeds(site)
     val fetcher = SyntheticSite.fetcher(site)
     val plain = WaveRunner.run(spark, seeds, fetcher, Nil,
-      CrawlConfig(waveSeconds = 2.0))
+      CrawlConfig(waveSeconds = 2.0, maxRetries = 2))
     val compacted = WaveRunner.run(spark, seeds, fetcher, Nil,
-      CrawlConfig(waveSeconds = 2.0, frontierDeltaMaxRows = 1L))
+      CrawlConfig(waveSeconds = 2.0, maxRetries = 2, frontierDeltaMaxRows = 1L))
     assert(stateOf(compacted) === stateOf(plain))
   }
 
