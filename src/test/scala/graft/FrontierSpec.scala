@@ -103,6 +103,28 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("agg selection is input-order and partitioning invariant") {
+    // the distributed bounded-heap top-k must not depend on row arrival
+    // order or partition layout (its tiebreak order is total via urlHash)
+    val rows = (1 to 400).map(i => (s"h${i % 5}", (i % 13).toDouble, i.toLong))
+    def df(seed: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = seed(rows.toDF("host", "priority", "urlHash"))
+      .withColumn("discoveredWave", lit(0))
+      .withColumn("discoveredRank", col("urlHash"))
+      .withColumn("url", concat(lit("u"), col("urlHash")))
+      .withColumn("depth", lit(1))
+      .withColumn("retries", lit(0))
+      .withColumn("parentUrl", lit(""))
+      .withColumn("budget", lit(6L))
+    def sel(d: org.apache.spark.sql.DataFrame) = WaveSelector.selectAgg(d)
+      .select("host", "host_rank", "urlHash")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val a = sel(df(identity))
+    val b = sel(df(_.orderBy(col("urlHash").desc).repartition(7)))
+    val c = sel(df(_.repartition(3, col("priority"))))
+    assert(a === b)
+    assert(a === c)
+  }
+
   test("per-host per-wave budget is never exceeded (politeness invariant)") {
     val rows = (1 to 500).map(i => (s"h${i % 3}", i.toDouble, i.toLong))
     val df = rows.toDF("host", "priority", "urlHash")

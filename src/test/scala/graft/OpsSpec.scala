@@ -130,6 +130,18 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"multi-probe recall too low: $recall")
   }
 
+  test("multi-probe bucket sequence: query bucket first, nested prefixes, full coverage") {
+    val qv = Array.tabulate(64)(i => math.sin(i * 1.7) * 2.0)
+    val all = Ann.lshProbeBuckets(qv, planes = 6, nProbe = 64)
+    // full probe enumerates every bucket exactly once (the full-probe == exact
+    // anchor depends on this)
+    assert(all.length === 64 && all.toSet === (0L until 64L).toSet)
+    // nProbe=k is always a prefix of nProbe=k' for k < k' (probe cost order is
+    // a fixed total order), and the cheapest probe is the query's own bucket
+    assert(Ann.lshProbeBuckets(qv, 6, 1) === all.take(1))
+    assert(Ann.lshProbeBuckets(qv, 6, 8) === all.take(8))
+  }
+
   test("LSH ANN: probes run against the persisted index without rebuilding") {
     val planes = 6
     val tmp = java.nio.file.Files.createTempDirectory("lshidx").toString
