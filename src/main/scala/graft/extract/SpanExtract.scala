@@ -132,19 +132,26 @@ object SpanExtract {
   def firstWithClass(spans: Column, kind: String, cls: String): Column =
     get(filter(spans, s => s.getField("kind") === kind && hasClass(s, cls)), lit(0))
 
-  /** Class-ADDRESSED faculty index rows — the reference's actual selector
-    * logic (`scraper.py:41-55`): a row is a `.views-row`-style container; the
-    * name is the `.field-content h3` heading (class-gated, so decorative
-    * headings without the class never start a row — the case where the
-    * [[indexRows]] order heuristic mis-extracts); the title is the first
-    * `.people-title` text before the next name heading (non-title body text
-    * is never misread as a title); the anchor sits inside the name element
-    * (`scraper.py:54`), so the row's link is class-gated on `nameCls` too.
-    * Same output shape as [[indexRows]].
+  /** Class-ADDRESSED faculty index rows — the reference's actual NESTED
+    * selector logic (`scraper.py:41-55`): rows are `.views-row` containers
+    * (`rowCls` — a `.field-content h3` outside any container is page chrome
+    * the reference's `soup.select('.views-row')` never visits); the name is
+    * the `.field-content h3` heading inside one (class-gated, so decorative
+    * headings never start a row — the case where the [[indexRows]] order
+    * heuristic mis-extracts); the title selector is `.field-content
+    * .people-title` (`scraper.py:50`), so the title text must carry BOTH the
+    * `nameCls` (field wrapper) and `titleCls` tokens — a `.people-title`
+    * outside `.field-content` degrades the title to "" exactly as the
+    * reference's `select_one` miss does (`scraper.py:51`); the anchor sits
+    * inside the name element (`scraper.py:54`), so the row's link is
+    * class-gated on `nameCls` too. `Span.cls` carries own + ancestor class
+    * tokens (see the model), which is what turns these descendant selectors
+    * into flat token tests. Same output shape as [[indexRows]].
     */
-  def indexRowsByClass(spans: Column, nameCls: String, titleCls: String): Column = {
+  def indexRowsByClass(spans: Column, nameCls: String, titleCls: String,
+      rowCls: String = "views-row"): Column = {
     val nameHeadings = filter(spans, s =>
-      s.getField("kind") === "heading" && hasClass(s, nameCls))
+      s.getField("kind") === "heading" && hasClass(s, nameCls) && hasClass(s, rowCls))
     val nextNameOffset = (off: Column) =>
       aggregate(
         filter(nameHeadings, s => s.getField("offset") > off),
@@ -155,9 +162,11 @@ object SpanExtract {
       val inRow = (s: Column) =>
         s.getField("offset") >= hOff && s.getField("offset") < nextH
       val link = get(filter(spans, s =>
-        s.getField("kind") === "link" && hasClass(s, nameCls) && inRow(s)), lit(0))
+        s.getField("kind") === "link" && hasClass(s, nameCls) &&
+          hasClass(s, rowCls) && inRow(s)), lit(0))
       val text = get(filter(spans, s =>
-        s.getField("kind") === "text" && hasClass(s, titleCls) && inRow(s)), lit(0))
+        s.getField("kind") === "text" && hasClass(s, titleCls) &&
+          hasClass(s, nameCls) && hasClass(s, rowCls) && inRow(s)), lit(0))
       struct(
         i.as("rank"),
         h.getField("text").as("name"),

@@ -92,9 +92,12 @@ object Ann {
     index.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   def readLshIndex(spark: SparkSession, path: String): DataFrame =
-    // partition-column inference types small bucket ids as int — restore the
-    // build-side long so probes and consumers see one stable schema
-    spark.read.parquet(path).withColumn("bucket", col("bucket").cast("long"))
+    // The partition column keeps its INFERRED type (small bucket ids read
+    // back as int): casting it here would wrap the partition attribute in a
+    // Cast that defeats parquet partition pruning on every probe (ADVICE
+    // r3). Probes adapt their literals to the raw column type instead, and
+    // restore the stable long type in their own output projection.
+    spark.read.parquet(path)
 
   /** Driver-side dot (the query vector is client-held in any ANN service). */
   private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
@@ -133,10 +136,18 @@ object Ann {
   def lshTopkIndexed(index: DataFrame, qv: Array[Double], planes: Int,
       nProbe: Int, k: Int): DataFrame = {
     val buckets = lshProbeBuckets(qv, planes, nProbe)
+    // literals typed to match the raw partition column (int when read back
+    // from [[readLshIndex]], long when probing an in-memory build): a
+    // type-mismatched IN would cast the partition ATTRIBUTE and defeat
+    // pruning; the stable long bucket is restored in the projection below
+    val bucketVals: Seq[Any] = index.schema("bucket").dataType match {
+      case org.apache.spark.sql.types.IntegerType => buckets.map(_.toInt)
+      case _                                      => buckets
+    }
     val qvCol = array(qv.map(lit): _*)
     index
-      .filter(col("bucket").isInCollection(buckets.map(Long.box)))
-      .select(col("vec_id"), col("label"), col("bucket"),
+      .filter(col("bucket").isin(bucketVals: _*))
+      .select(col("vec_id"), col("label"), col("bucket").cast("long").as("bucket"),
         round(cosine(col("v"), qvCol), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
@@ -243,7 +254,9 @@ object Ann {
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
   def readIvfIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).withColumn("cell", col("cell").cast("int"))
+    // raw inferred partition type for the same pruning reason as
+    // [[readLshIndex]]; the probe projection pins the stable int type
+    spark.read.parquet(path)
 
   /** Probe a materialized IVF index: the query's nProbe nearest cells
     * (ranked against the collected centroid table — O(nlist) driver work,
@@ -260,8 +273,8 @@ object Ann {
     }.sortBy(identity).take(nProbe).map(_._2)
     val qvCol = array(qv.map(lit): _*)
     index
-      .filter(col("cell").isInCollection(qCells.map(Int.box).toSeq))
-      .select(col("vec_id"), col("label"), col("cell"),
+      .filter(col("cell").isin(qCells.map(Int.box).toSeq: _*))
+      .select(col("vec_id"), col("label"), col("cell").cast("int").as("cell"),
         round(cosine(col("v"), qvCol), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)

@@ -24,8 +24,25 @@ object TextOps {
     * size expensive per-row stages by work units, not input bytes.
     */
   private[ops] def parallelized(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark  = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Estimate the scan's input-split count from file-index metadata alone —
+    // no `df.rdd`, which would force building a physical plan + RDD lineage
+    // per query just to count splits (and count the pre-AQE ones at that;
+    // ADVICE r3). ceil(bytes / maxPartitionBytes) per file upper-bounds the
+    // scan partitions (file packing can only lower it); the sandbox tables
+    // are one file each, where the bound is exact — and at real data scale
+    // the estimate clears `target` and this stays a no-op.
+    val files = df.inputFiles
+    if (files.isEmpty) return df
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val hconf    = spark.sessionState.newHadoopConf()
+    val splits = files.iterator.map { f =>
+      val p   = new org.apache.hadoop.fs.Path(f)
+      val len = p.getFileSystem(hconf).getFileStatus(p).getLen
+      math.max(1L, (len + maxSplit - 1) / maxSplit)
+    }.sum
+    if (splits < target) df.repartition(target) else df
   }
 
   /** Shared token definition (parity-critical with the DuckDB oracles):

@@ -37,8 +37,9 @@ class CrawlScaleSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     try {
       val r = body
-      // listener events are delivered async — drain before reading
-      Thread.sleep(3000)
+      // listener events are delivered async — drain the bus before reading
+      // (a fixed sleep races delivery under load; ADVICE r3)
+      org.apache.spark.GraftListenerSync.drain(spark.sparkContext)
       r.release()
       acc.get()
     } finally spark.sparkContext.removeSparkListener(listener)

@@ -80,6 +80,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "dedup keep-min must be a partitioned window")
   }
 
+  test("ANN probes partition-prune the materialized indexes (no cast over the partition column)") {
+    // ADVICE r3: a Cast wrapped around the partition attribute before the
+    // probe filter can defeat parquet partition pruning — the documented
+    // "reads only nProbe bucket directories" property. The probe must put a
+    // real partition filter on the scan.
+    import graft.ops.Ann
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qv = Array.tabulate(Ann.Dims)(i => math.sin(i * 0.37))
+
+    val lshDir = java.nio.file.Files.createTempDirectory("lshprune").toString
+    Ann.writeLshIndex(Ann.buildLshIndex(e, planes = 6), lshDir)
+    val pLsh = plan(Ann.lshTopkIndexed(Ann.readLshIndex(spark, lshDir), qv,
+      planes = 6, nProbe = 4, k = 5))
+    assert("""PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(pLsh).isDefined,
+      s"LSH probe must carry a partition filter on bucket:\n$pLsh")
+
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivfprune").toString
+    val cents  = Ann.trainIvfCentroids(e, nlist = 8)
+    Ann.writeIvfIndex(Ann.assignIvfCells(e, cents), ivfDir)
+    val pIvf = plan(Ann.ivfTopkIndexed(Ann.readIvfIndex(spark, ivfDir), cents,
+      qv, nProbe = 2, k = 5))
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(pIvf).isDefined,
+      s"IVF probe must carry a partition filter on cell:\n$pIvf")
+  }
+
   test("source gate: no unpartitioned windows in main (single-task funnels)") {
     // Window.orderBy without partitionBy moves EVERY row through one task —
     // the crawl-order seq regression the verdict flagged. Gate the whole main
