@@ -47,10 +47,18 @@ object SparkEntry {
     "q_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_minhash_lsh"      -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_simhash_pairs"    -> ((s, d) => Dedup.simhashPairs(s, d)),
-    // similarity search
+    // similarity search. The headline ANN queries run FULL probe: every
+    // bucket/cell of the materialized index is visited, so the result is
+    // exact cosine top-k and the driver's DuckDB gate covers the whole
+    // build→partitioned-write→pruned-probe path (r3 verdict ask #3). The
+    // *_probe variants keep the production multi-probe path exercised by the
+    // driver (recall < 1 by construction → rows-only; recall bounds and
+    // probe-sequence properties live in OpsSpec).
     "q_cosine_topk"      -> ((s, d) => Ann.cosineTopk(s, d)),
-    "q_ann_lsh"          -> ((s, d) => Ann.annLshTopk(s, d)),
-    "q_ann_ivf"          -> ((s, d) => Ann.ivfTopk(s, d)),
+    "q_ann_lsh"          -> ((s, d) => Ann.annLshTopkFull(s, d)),
+    "q_ann_ivf"          -> ((s, d) => Ann.ivfTopkFull(s, d)),
+    "q_ann_lsh_probe"    -> ((s, d) => Ann.annLshTopk(s, d)),
+    "q_ann_ivf_probe"    -> ((s, d) => Ann.ivfTopk(s, d)),
     "q_embedding_neardup" -> ((s, d) => Ann.embeddingNearDup(s, d)),
     // multimodal plumbing
     "q_media_meta"       -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -66,10 +74,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for hash-keyed / engine-native ops
-    * (q_minhash_lsh, q_simhash_pairs, q_ann_lsh, q_ann_ivf,
-    * q_media_decode_stub, q_crawl_synthetic, q_match_synthetic) → driver
-    * records a rows-only check; their exactness oracles live in the ScalaTest
-    * suites (e.g. full-probe IVF == exact brute force).
+    * (q_minhash_lsh, q_simhash_pairs, the multi-probe q_ann_*_probe
+    * variants, q_crawl_synthetic, q_match_synthetic) → driver records a
+    * rows-only check; their exactness oracles live in the ScalaTest suites
+    * (planted-dup recovery, multi-probe recall bounds, the crawl oracle).
     */
   def oracleSql: Map[String, String] = Map(
     "q_flagship_agg"     -> StarQueries.flagshipAggSql,
@@ -93,7 +101,10 @@ object SparkEntry {
     "q_dedup_exact"      -> Dedup.dedupExactSql,
     "q_ngram_jaccard"    -> Dedup.ngramJaccardSql,
     "q_cosine_topk"      -> Ann.cosineTopkSql,
+    "q_ann_lsh"          -> Ann.cosineTopkSqlK(10),
+    "q_ann_ivf"          -> Ann.cosineTopkSqlK(10),
     "q_embedding_neardup" -> Ann.embeddingNearDupSql,
+    "q_media_decode_stub" -> Multimodal.mediaDecodeStubSql,
     "q_media_meta"       -> Multimodal.mediaMetaSql,
     "q_media_frames"     -> Multimodal.frameSampleSql,
     "q_url_canonicalize" -> CrawlQueries.urlCanonicalizeSql,

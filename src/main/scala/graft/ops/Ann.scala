@@ -41,14 +41,19 @@ object Ann {
       .limit(k)
   }
 
-  val cosineTopkSql: String =
-    """SELECT e.vec_id, e.label,
-      |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos
-      |FROM embeddings e
-      |CROSS JOIN (SELECT embedding FROM embeddings
-      |            WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) q
-      |ORDER BY cos DESC, e.vec_id ASC
-      |LIMIT 20""".stripMargin
+  /** DuckDB oracle for exact cosine top-k at `k` — also the oracle of the
+    * FULL-PROBE ANN queries, whose results are exact by construction.
+    */
+  def cosineTopkSqlK(k: Int): String =
+    s"""SELECT e.vec_id, e.label,
+       |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos
+       |FROM embeddings e
+       |CROSS JOIN (SELECT embedding FROM embeddings
+       |            WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) q
+       |ORDER BY cos DESC, e.vec_id ASC
+       |LIMIT $k""".stripMargin
+
+  val cosineTopkSql: String = cosineTopkSqlK(20)
 
   /** Deterministic random hyperplanes (splitmix-style mixing of (plane, dim))
     * — pure function, identical on driver and executors.
@@ -171,6 +176,19 @@ object Ann {
       .head.getSeq[Double](0).toArray
     lshTopkIndexed(index, qv, planes, nProbe, k)
   }
+
+  /** FULL-probe LSH over the materialized index (nProbe = 2^planes): every
+    * bucket is probed, so the result is EXACT cosine top-k and carries a
+    * DuckDB oracle ([[cosineTopkSqlK]]) — the driver-gate anchor for the
+    * whole materialized-index path (build, bucket-partitioned write,
+    * pruned probe). The `bucket` column is dropped: it is engine-internal
+    * (hash-derived), and the exactness claim is about the ranking.
+    * Multi-probe recall stays covered by [[annLshTopk]] + OpsSpec.
+    */
+  def annLshTopkFull(spark: SparkSession, dir: String, planes: Int = 8,
+      k: Int = 10): DataFrame =
+    annLshTopk(spark, dir, planes, nProbe = 1 << planes, k = k)
+      .select(col("vec_id"), col("label"), col("cos"))
 
   // ---- IVF (inverted-file) ANN ----
 
@@ -300,6 +318,15 @@ object Ann {
       .head.getSeq[Double](0).toArray
     ivfTopkIndexed(index, centroids, qv, nProbe, k)
   }
+
+  /** FULL-probe IVF (nProbe = nlist): every inverted list is probed, so the
+    * result is EXACT cosine top-k with a DuckDB oracle — same rationale as
+    * [[annLshTopkFull]]; the engine-internal `cell` column is dropped.
+    */
+  def ivfTopkFull(spark: SparkSession, dir: String, nlist: Int = 16,
+      k: Int = 10): DataFrame =
+    ivfTopk(spark, dir, nlist, nProbe = nlist, k = k)
+      .select(col("vec_id"), col("label"), col("cos"))
 
   /** Embedding near-duplicate pairs on a deterministic candidate set
     * (adjacent vec_ids), cosine ≥ threshold — the embedding-space analog of

@@ -46,20 +46,34 @@ object Multimodal {
     * from a hash of the payload, NOT from real decoding. Replace the body
     * with an actual codec call when the runtime has one; the signature,
     * batching shape, and downstream schema are the real contract.
+    *
+    * The fake is keyed on the first 8 hex chars of MD5(payload) — chosen
+    * (over a JVM-private mix) so the stub stays a pure function of the
+    * payload BYTES that an independent SQL engine can replicate, which is
+    * what gives `q_media_decode_stub` a DuckDB oracle (the driver gate
+    * covers the whole binary → mapPartitions → aggregate path, not just its
+    * row count).
     */
-  def stubDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
-    var z = java.util.Arrays.hashCode(payload).toLong + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = z ^ (z >>> 31)
+  def stubDecode(md: java.security.MessageDigest, docId: Long,
+      payload: Array[Byte]): MediaMeta = {
+    md.reset()
+    val d = md.digest(payload)
+    // first 4 digest bytes = first 8 hex chars, as an unsigned 32-bit value
+    val z = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
     val formats = Array("jpeg", "png", "wav", "mp4")
     MediaMeta(
       doc_id = docId,
       n_bytes = payload.length.toLong,
-      format = formats(math.abs(z % 4).toInt),
-      width = 64 + math.abs((z >> 8) % 1024).toInt,
-      height = 64 + math.abs((z >> 24) % 1024).toInt,
-      n_frames = 1 + math.abs((z >> 40) % 32).toInt)
+      format = formats((z % 4).toInt),
+      width = 64 + ((z >> 8) % 1024).toInt,
+      height = 64 + ((z >> 12) % 1024).toInt,
+      n_frames = 1 + ((z >> 16) % 32).toInt)
   }
+
+  /** Single-row convenience overload (tests): fresh digest per call. */
+  def stubDecode(docId: Long, payload: Array[Byte]): MediaMeta =
+    stubDecode(java.security.MessageDigest.getInstance("MD5"), docId, payload)
 
   /** The decode stage: partition-local batches over the binary column —
     * the executor-side shape a real codec pipeline has (open codec once per
@@ -71,18 +85,46 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // real pipeline: codec/session init here, once per partition
-        it.map { case (id, payload) => stubDecode(id, payload) }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, payload) => stubDecode(md, id, payload) }
       }
   }
 
-  /** Rows-only query: decode metadata per doc, aggregated per fake format
-    * (exercises the full binary → mapPartitions → relational-join-back path).
+  /** Decode metadata per doc, aggregated per fake format (exercises the full
+    * binary → mapPartitions → relational-join-back path). Oracle-checkable:
+    * the stub is a pure function of MD5(payload) — see [[mediaDecodeStubSql]].
     */
   def mediaDecodeStub(spark: SparkSession, dir: String): DataFrame =
     decodeStage(spark, withMedia(spark, dir)).toDF()
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("bytes"),
         sum(col("n_frames")).as("frames"))
+
+  /** DuckDB replica of [[stubDecode]]'s arithmetic: z = the first 8 hex
+    * chars of md5(text) as an unsigned 32-bit integer (the payload IS the
+    * UTF-8 bytes of `text`, so md5(text) == md5(payload) on both engines),
+    * then the same format/frame derivation. Sums cast to BIGINT to match
+    * Spark's long (DuckDB widens BIGINT sums to HUGEINT).
+    */
+  val mediaDecodeStubSql: String =
+    """WITH z AS (
+      |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |    ( (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 268435456
+      |    + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 16777216
+      |    + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 1048576
+      |    + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) * 65536
+      |    + (strpos('0123456789abcdef', substr(md5(text), 5, 1)) - 1) * 4096
+      |    + (strpos('0123456789abcdef', substr(md5(text), 6, 1)) - 1) * 256
+      |    + (strpos('0123456789abcdef', substr(md5(text), 7, 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(md5(text), 8, 1)) - 1) ) AS z
+      |  FROM documents)
+      |SELECT
+      |  CASE z % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'wav'
+      |    ELSE 'mp4' END AS format,
+      |  count(*) AS n,
+      |  CAST(sum(n_bytes) AS BIGINT) AS bytes,
+      |  CAST(sum(1 + (z // 65536) % 32) AS BIGINT) AS frames
+      |FROM z GROUP BY 1""".stripMargin
 
   /** Frame sampling: fixed-stride slices of the payload, exploded to one row
     * per frame — the wire shape of a video frame sampler (slice, fan out,
