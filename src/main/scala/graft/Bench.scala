@@ -52,8 +52,14 @@ object Bench {
     * engine. N=2 vs 4N=8 cores: this box thread-scales cleanly in that range
     * (no SMT; pure-CPU probe 0.93+ at 2→8 but 0.73 at 8→32).
     */
-  private val benchSite = SiteConfig(universities = 768, deptsPerU = 2,
-    facultyPerDept = 288, errorFraction = 0.05, pubsPerFaculty = 12, bioWords = 250)
+  // GRAFT_BENCH_UNIS/GRAFT_BENCH_FACULTY shrink the corpus for smoke-testing
+  // the bench harness itself (pair validity, retries, JSON shape) without
+  // the full ~20-minute protocol; unset = the recorded protocol corpus.
+  private val benchSite = SiteConfig(
+    universities = sys.env.getOrElse("GRAFT_BENCH_UNIS", "768").toInt,
+    deptsPerU = 2,
+    facultyPerDept = sys.env.getOrElse("GRAFT_BENCH_FACULTY", "288").toInt,
+    errorFraction = 0.05, pubsPerFaculty = 12, bioWords = 250)
   private val benchCrawl = CrawlConfig(waveSeconds = 320.0, saltShards = 1)
   private val nCores  = 2
   private val n4Cores = 8
@@ -76,18 +82,19 @@ object Bench {
     * samples per level) damp the sandbox's run-to-run jitter (up to 60% in
     * single runs) while bounding the crawl section's wall clock.
     */
-  private def crawlRate(cpus: Int): ChildResult = {
+  private def crawlRate(cpus: Int, env: Map[String, String] = Map.empty): ChildResult = {
     val b = benchSite
     forkPinnedChild(cpus, Seq(b.universities, b.deptsPerU, b.facultyPerDept)
       .map(_.toString) ++ Seq(benchCrawl.waveSeconds.toString, "2",
-        benchCrawl.saltShards.toString))
+        benchCrawl.saltShards.toString), env)
       .getOrElse {
         val (rate, urls) = inProcessRate(cpus)
         ChildResult(rate, urls, pinned = false, ceil = None, ceilSpark = None)
       }
   }
 
-  private def forkPinnedChild(cores: Int, siteArgs: Seq[String]): Option[ChildResult] =
+  private def forkPinnedChild(cores: Int, siteArgs: Seq[String],
+      env: Map[String, String] = Map.empty): Option[ChildResult] =
     try {
       if (!new java.io.File("/usr/bin/taskset").exists()) return None
       val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -105,6 +112,7 @@ object Bench {
           "-Dspark.sql.session.timeZone=UTC", "-cp", cp,
           "graft.BenchCrawlChild", cores.toString) ++ siteArgs
       val pb = new ProcessBuilder(cmd: _*)
+      env.foreach { case (k, v) => pb.environment().put(k, v) }
       pb.redirectErrorStream(false)
       val proc = pb.start()
       val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
@@ -218,46 +226,75 @@ object Bench {
     // normalized figure is the cluster-relevant one. Raw ratio and ceiling
     // are reported alongside, with the methodology flag (`pinned`) telling
     // the truth about whether the taskset path actually ran.
-    // THREE children per level, interleaved N,4N,..., best rate per level:
-    // sandbox tenancy drifts minute to minute — and (measured round 3) the
-    // box spends multi-minute stretches at ~half throughput with nothing
-    // in-guest — so a slow-window sample at either level corrupts the ratio;
-    // the per-level max across spaced children is the box's demonstrated
-    // capability at that width
-    val nRuns  = Seq(crawlRate(nCores), crawlRate(n4Cores),
-      crawlRate(nCores), crawlRate(n4Cores),
-      crawlRate(nCores), crawlRate(n4Cores))
-    val n  = Seq(nRuns(0), nRuns(2), nRuns(4)).maxBy(_.rate)
-    val n4 = Seq(nRuns(1), nRuns(3), nRuns(5)).maxBy(_.rate)
+    // PAIR-BASED sampling with an in-artifact tenancy defense (bench_schema
+    // 4, r3 verdict ask #1a + ADVICE): each sample is an interleaved (N, 4N)
+    // child pair; a pair whose own contemporaneous ceiling probes imply >1.05
+    // thread scaling (physically impossible on one box — the narrow ceiling
+    // sample landed in a degraded-tenancy window), or whose engine ratio
+    // itself is super-linear, is measurement corruption and is invalidated
+    // WHOLE — its rate samples are excluded from raw and normalized alike
+    // (round 3 discarded only the corrupt ceiling sample, which could only
+    // lower the ceiling and inflate the normalized figure). Degraded windows
+    // trigger bounded re-runs; every sample, each pair's validity verdict,
+    // and the retry count are recorded in the JSON so a consumer sees the
+    // defense, not just one window's number.
+    final case class Pair(n: ChildResult, n4: ChildResult) {
+      val width = n4Cores.toDouble / nCores
+      def raw: Double = (n4.rate / n.rate) / width
+      def ratio(p: (Double, Double)): Double = (p._2 / p._1) / width
+      def ceilRatios: Seq[Double] = (n4.ceil.toSeq ++ n4.ceilSpark.toSeq).map(ratio)
+      def valid: Boolean = ceilRatios.forall(_ <= 1.05) && raw <= 1.05
+    }
+    def runPair() = Pair(crawlRate(nCores), crawlRate(n4Cores))
+    val pairs = scala.collection.mutable.Buffer(runPair(), runPair(), runPair())
+    var windowRetries = 0
+    while (pairs.count(_.valid) < 2 && windowRetries < 2) {
+      windowRetries += 1
+      pairs += runPair()
+    }
+    val validPairs = pairs.filter(_.valid).toSeq
+    val degraded   = validPairs.isEmpty
+    // per-level max across (valid) spaced children = the box's demonstrated
+    // capability at that width; a collapsed sample can only lose the max
+    val usable = if (degraded) pairs.toSeq else validPairs
+    val n  = usable.map(_.n).maxBy(_.rate)
+    val n4 = usable.map(_.n4).maxBy(_.rate)
     val rawEff = (n4.rate / n.rate) / (n4Cores.toDouble / nCores)
-    val wide   = Seq(nRuns(1), nRuns(3), nRuns(5))
-    def best(ps: Seq[(Double, Double)]): Option[Double] = {
-      // a thread-scaling "ceiling" > 1 is physically impossible on one box —
-      // it means the NARROW sample landed in a degraded-tenancy window
-      // (observed: box throughput halves for minutes at a time); such
-      // samples are measurement corruption, not a bound, and are discarded
-      val ratios = ps
-        .map { case (c2, cW) => (cW / c2) / (n4Cores.toDouble / nCores) }
-        .filter(_ <= 1.05)
-        .map(math.min(_, 1.0))
+    def best(ps: Seq[Double]): Option[Double] = {
+      val ratios = ps.filter(_ <= 1.05).map(math.min(_, 1.0))
       if (ratios.isEmpty) None else Some(ratios.max)
     }
-    val payloadCeil = best(wide.flatMap(_.ceil))
-    val sparkCeil   = best(wide.flatMap(_.ceilSpark))
-    // grade raw against the TIGHTER bound actually measured; fall back to the
-    // membw probe when the children could not report ceilings
+    val payloadCeil = best(validPairs.flatMap(p => p.n4.ceil.toSeq.map(p.ratio)))
+    val sparkCeil   = best(validPairs.flatMap(p => p.n4.ceilSpark.toSeq.map(p.ratio)))
+    // grade raw against the TIGHTER bound actually measured. No clean
+    // ceiling pair (degraded run, or forking unavailable with ceilings
+    // absent) → membw probe only when ceilings were never reported at all;
+    // a DEGRADED run emits normalized as null rather than a number built
+    // from corrupt ceilings (ADVICE r3).
     val (ceiling, ceilKind) = (payloadCeil, sparkCeil) match {
       case (Some(p), Some(sp)) =>
         if (sp < p) (sp, "spark_maponly_fetch") else (p, "workload_renderparse_threads")
       case (Some(p), None)  => (p, "workload_renderparse_threads")
       case (None, Some(sp)) => (sp, "spark_maponly_fetch")
-      case _ => (memBandwidthCeiling(nCores, n4Cores), "membw_probe")
+      case _ if !degraded => (memBandwidthCeiling(nCores, n4Cores), "membw_probe")
+      case _ => (-1.0, "none")
     }
-    val normalized = math.min(1.0, rawEff / math.min(1.0, ceiling))
-    val pinned     = n.pinned && n4.pinned
+    val normalizedJson =
+      if (ceilKind == "none") "null"
+      else f"${math.min(1.0, rawEff / math.min(1.0, ceiling))}%.3f"
+    val pinned = n.pinned && n4.pinned
+
+    // one extra wide child with every beyond-broadcast regime forced
+    // (sharded Bloom table, shuffle-regime robots, shuffled key anti-joins):
+    // evidences the 10^10 path's CONSTANTS on the same corpus (ask #4)
+    val sharded = crawlRate(n4Cores,
+      Map("GRAFT_REGIME" -> "sharded", "GRAFT_SKIP_CEIL" -> "1"))
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    def rates(f: Pair => ChildResult) =
+      pairs.map(p => f"${f(p).rate}%.1f").mkString("[", ",", "]")
+    val validJson = pairs.map(_.valid).mkString("[", ",", "]")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         f""""crawl":{"urls":${n4.urls},"rate_n_urls_per_sec":${n.rate}%.1f,""" +
@@ -266,16 +303,23 @@ object Bench {
         // round-1 meaning, restored; the ceiling-normalized headline lives in
         // `scaling_efficiency_normalized` (round 2 briefly reused the raw key
         // for it); `scaling_efficiency_raw` duplicates raw for consumers of
-        // the round-2 schema.
+        // the round-2 schema. Schema 4 adds the tenancy defense: all samples,
+        // per-pair validity, retry count, degraded flag, and the sharded-
+        // regime rate.
         f""""rate_4n_urls_per_sec":${n4.rate}%.1f,""" +
-        f""""bench_schema":3,""" +
+        f""""bench_schema":4,""" +
         f""""scaling_efficiency":$rawEff%.3f,""" +
-        f""""scaling_efficiency_normalized":$normalized%.3f,""" +
+        f""""scaling_efficiency_normalized":$normalizedJson,""" +
         f""""normalized_kind":"raw_over_workload_ceiling",""" +
         f""""scaling_efficiency_raw":$rawEff%.3f,""" +
         f""""workload_ceiling":$ceiling%.3f,"ceiling_kind":"$ceilKind",""" +
         f""""payload_ceiling":${payloadCeil.getOrElse(-1.0)}%.3f,""" +
         f""""sparkmap_ceiling":${sparkCeil.getOrElse(-1.0)}%.3f,""" +
+        f""""samples_n":${rates(_.n)},"samples_4n":${rates(_.n4)},""" +
+        f""""pair_valid":$validJson,"window_retries":$windowRetries,""" +
+        f""""discarded_pairs":${pairs.count(!_.valid)},"degraded":$degraded,""" +
+        f""""sharded_rate_4n_urls_per_sec":${sharded.rate}%.1f,""" +
+        f""""sharded_over_broadcast":${sharded.rate / n4.rate}%.3f,""" +
         f""""n_cores":$nCores,"4n_cores":$n4Cores,"pinned":$pinned}}""")
   }
 }

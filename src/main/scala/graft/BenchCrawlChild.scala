@@ -30,11 +30,22 @@ object BenchCrawlChild {
     // saltShards=1 by default: the bench corpus is host-uniform, so the skew
     // pre-prune's extra window pass is pure overhead here (the salted path's
     // exactness and skew behavior are covered by FrontierSpec/CrawlDepth2Spec)
-    val crawl = CrawlConfig(waveSeconds = args(4).toDouble,
+    val base = CrawlConfig(waveSeconds = args(4).toDouble,
       saltShards = if (args.length > 6) args(6).toInt else 1,
       // selector A/B for scaling experiments (default = the engine default)
       selector = sys.env.getOrElse("GRAFT_SELECTOR", CrawlConfig().selector))
+    // GRAFT_REGIME=sharded forces every beyond-broadcast path at once — the
+    // sharded Bloom table, the shuffle-join robots rules, and the shuffled
+    // key-set anti-joins — so the bench can record the 10^10-regime
+    // machinery's CONSTANTS on the same corpus, not just its property-tested
+    // shape (r3 verdict ask #4)
+    val crawl =
+      if (sys.env.get("GRAFT_REGIME").contains("sharded"))
+        base.copy(bloomBroadcastMaxBytes = 0L, rulesBroadcastMaxRows = 0L,
+          deltaBroadcastMaxRows = 0L)
+      else base
     val runs  = args(5).toInt
+    val skipCeil = sys.env.contains("GRAFT_SKIP_CEIL")
 
     // GRAFT_MASTER overrides the master — e.g. "local-cluster[2,1,6144]"
     // runs REAL separate executor JVMs (the honest N-executors simulation:
@@ -95,7 +106,7 @@ object BenchCrawlChild {
     // bounds ANY engine's thread-scaling for this workload — memory bandwidth
     // and allocator contention are properties of the box, not the engine; a
     // real 4N-node cluster adds them linearly.
-    if (cores > 2) {
+    if (cores > 2 && !skipCeil) {
       val c2 = workloadPagesPerSec(2)
       val cN = workloadPagesPerSec(cores)
       println(f"CEIL ${c2}%.1f ${cN}%.1f")
@@ -108,7 +119,7 @@ object BenchCrawlChild {
     // this box at these two widths — task scheduling, row encode, and cache
     // store contention included. The engine's raw ratio is graded against
     // the tighter of the two.
-    if (cores > 2) {
+    if (cores > 2 && !skipCeil) {
       val s2 = sparkMapOnlyPagesPerSec(2)
       val sN = sparkMapOnlyPagesPerSec(cores)
       println(f"CEILSPARK ${s2}%.1f ${sN}%.1f")

@@ -185,7 +185,7 @@ object WaveRunner {
     val whitelist = cfg.hostWhitelist.getOrElse(
       seeds.map(s => Urls.hostOf(Urls.normalize(s.url))).distinct)
     runLoop(spark, basePending0, Nil, seen0, startWave = 0, Nil, whitelist,
-      fetcher, rules, cfg)
+      fetcher, rules, cfg, initialPending = Some(seeds.size.toLong))
   }
 
   /** Resume a snapshot-mode crawl from its last committed wave: reconstruct
@@ -247,8 +247,11 @@ object WaveRunner {
       .repartition(P, col("url_hash"))
     val whitelist = cfg.hostWhitelist.getOrElse(
       seeds.map(s => Urls.hostOf(Urls.normalize(s.url))).distinct)
+    // resumed crawls don't know the restored pending-row count without an
+    // extra job — the skip-empty-final-wave shortcut stays off and the loop
+    // terminates on an observed empty batch as before
     runLoop(spark, basePending0, doneDeltas0, seen0, last + 1, waves, whitelist,
-      fetcher, rules, cfg)
+      fetcher, rules, cfg, initialPending = None)
   }
 
   /** The wave loop (shared by cold start and resume).
@@ -268,7 +271,8 @@ object WaveRunner {
       whitelist: Seq[String],
       fetcher: String => Option[SpanDoc],
       rules: Seq[RobotsRule],
-      cfg: CrawlConfig
+      cfg: CrawlConfig,
+      initialPending: Option[Long]
   ): CrawlResult = {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
@@ -387,7 +391,99 @@ object WaveRunner {
     var wave = startWave
     var done = false
     var totalFetches = 0L
-    while (!done && wave < cfg.maxWaves) {
+    // Exact pending-row count, maintained arithmetically (pending' =
+    // pending − batch + discoveries) — exact only when maxRetries == 0
+    // (the reference's fetch-once discipline and the engine default), since
+    // retries re-enter pending in numbers only a job could count. When it
+    // reaches zero the loop stops WITHOUT running the final empty wave: the
+    // termination wave costs a full frontier scan + selection + zero-row
+    // fetch (measured ~0.7 s on the bench corpus) only to observe an empty
+    // batch the driver already knows is empty. Denied/over-budget rows keep
+    // the count positive, so the shortcut can only fire when the frontier
+    // is truly drained; None (resume, retries) falls back to the observed
+    // empty batch exactly as before.
+    var pendingKnown: Option[Long] =
+      if (cfg.maxRetries == 0) initialPending else None
+
+    // Deferred bloom resolution (memory mode): the wave's bloom/seen delta
+    // is only NEEDED at the NEXT wave's discovery phase (its unseen filter),
+    // not at wave end — so the build runs as a future that overlaps the next
+    // wave's selection + fetch stages (which never read the seen state), and
+    // resolves right before the next unseen construction. Holds
+    // (wave, future of (n, driverDelta, tableDelta), unseen cache to release,
+    // metrics-delta constructor awaiting n).
+    var pendingBloom: Option[(Int, scala.concurrent.Future[(Long, SeenPreFilter, Dataset[BloomShard])],
+        DataFrame, Long => DataFrame)] = None
+
+    // shared post-bloom bookkeeping: merge the wave's filter delta, account
+    // its discoveries, then (possibly) compact — the compaction check sits
+    // here so the deferred path still compacts within one wave of the
+    // threshold (bounded slack, documented on frontierDeltaMaxRows)
+    def applyBloom(n: Long, drvDelta: SeenPreFilter,
+        tblDelta: Dataset[BloomShard]): Unit = {
+      if (bloomBroadcast) {
+        if (n > 0L) bloomDriver.mergeWith(drvDelta)
+      } else {
+        bloomTable.unpersist()
+        bloomTable = tblDelta
+        seenTotal += n
+      }
+      deltaRowsBound += n
+      seenAccRows += n
+      pendingKnown = pendingKnown.map(_ + n)
+      maybeCompact()
+    }
+
+    def resolveBloom(): Unit = pendingBloom.foreach { case (w, fut, unseenCache, mkMetrics) =>
+      val (n, drv, tbl) = phase("bloom-resolve", w) { Await.result(fut, Duration.Inf) }
+      metricsDeltas += mkMetrics(n)
+      unseenCache.unpersist()
+      pendingBloom = None
+      applyBloom(n, drv, tbl)
+    }
+
+    // -- compaction: fold deltas into new base tables — the ONLY O(frontier)
+    // shuffle in the engine, amortized over the waves between compactions.
+    // Done rows move to the append-only doneDeltas views (they are never
+    // re-materialized again).
+    def maybeCompact(): Unit = if (deltaRowsBound > cfg.frontierDeltaMaxRows) {
+      phase("compaction", wave) {
+        val dk = deltaState.select(col("urlHash"))
+        val newBasePending = antiKeys(basePending, dk, "urlHash", deltaRowsBound)
+          .select(basePending.columns.map(col): _*)
+          .unionByName(deltaState.filter(col("status") === FrontierStatus.Pending))
+          .repartition(P, col("urlHash"))
+        val newSeenBase = seenAcc match {
+          case Some(acc) => seenBase.unionByName(acc).repartition(P, col("url_hash"))
+          case None      => null
+        }
+        val bpF = Future { newBasePending.localCheckpoint(true) }
+        val sbF =
+          if (newSeenBase == null) Future.successful(seenBase)
+          else Future { newSeenBase.localCheckpoint(true) }
+        val bp2 = Await.result(bpF, Duration.Inf)
+        val sb2 = Await.result(sbF, Duration.Inf)
+        doneDeltas += deltaState.filter(col("status") =!= FrontierStatus.Pending)
+        store.foreach { st =>
+          st.commitFrontierBase(wave,
+            bp2.unionByName(union(spark, doneDeltas.toSeq, FrontierDdl)))
+        }
+        basePending.unpersist(); basePending = bp2
+        if (!(sb2 eq seenBase)) { seenBase.unpersist(); seenBase = sb2 }
+        deltaState = union(spark, Nil, FrontierDdl)
+        seenAccRows = 0L; seenSinceWave = wave + 1
+        fetchedSinceCompaction = 0L
+        deltaRowsBound = 0L
+      }
+    }
+
+    while (!done && wave < cfg.maxWaves && {
+      // the arithmetic count lags by the DEFERRED discovery count (memory
+      // mode hands the bloom/seen build to the next wave) — an apparent
+      // zero must resolve the pending wave first to fold its discoveries in
+      if (pendingKnown.exists(_ <= 0L)) resolveBloom()
+      !pendingKnown.exists(_ <= 0L)
+    }) {
       // live pending view: untouched base rows + touched keys' latest state.
       // The base side is a SCAN (its partitioning/caching is stable); the
       // only keys that move are the batch keys selected since compaction —
@@ -496,7 +592,11 @@ object WaveRunner {
         // -- URL-seen: shard-local Bloom fast path + exact anti-join (G4).
         // The exact rescue never rewrites the seen set: it anti-joins the
         // stable seenBase (partitioning reused) and broadcast-anti-joins the
-        // bounded accumulator of post-compaction discoveries.
+        // bounded accumulator of post-compaction discoveries. The PREVIOUS
+        // wave's deferred bloom/seen delta resolves here first — this is the
+        // first point in the wave that READS the seen state, which is what
+        // let its build overlap this wave's whole selection + fetch.
+        resolveBloom()
         val seenAccBcast = seenAccRows <= cfg.deltaBroadcastMaxRows
         val unseen =
           (if (bloomBroadcast)
@@ -507,13 +607,12 @@ object WaveRunner {
               bloomTable, cfg.bloomShards, seenAccBcast))
             .persist(StorageLevel.MEMORY_AND_DISK)
         val seenDelta = unseen.select(col("url_hash"), col("url"))
-        // buildBloom runs in a Future — it only READS the state vars and
-        // stashes the wave's update in the pending slots; the main thread
-        // applies them after Await (the join is the memory barrier)
-        var pendingDriverDelta: SeenPreFilter      = null
-        var pendingTable: Dataset[BloomShard]      = null
+        // buildBloom only READS state vars and returns the wave's update
+        // (count, driver-regime delta, sharded-regime table); the caller
+        // applies it after the future joins (Await is the memory barrier)
         val bloomTableNow  = bloomTable
-        def buildBloom(): Long =
+        val seenTotalNow   = seenTotal
+        def buildBloom(): (Long, SeenPreFilter, Dataset[BloomShard]) =
           if (bloomBroadcast) {
             val (delta, n) =
               if (cfg.seenFilter == "cuckoo")
@@ -522,15 +621,13 @@ object WaveRunner {
               else
                 PartitionedBloom.buildWithCount(seenDelta.select(col("url_hash")),
                   cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp)
-            pendingDriverDelta = delta
-            n
+            (n, delta, null)
           } else {
             val bloomDelta = BloomTable.fromHashes(seenDelta.select(col("url_hash")),
               cfg.bloomShards, cfg.bloomExpected, cfg.bloomFpp)
             val nb = BloomTable.merge(bloomTableNow, bloomDelta)
               .localCheckpoint(false) // lazy: materialized by the totalKeys action
-            pendingTable = nb
-            BloomTable.totalKeys(nb) - seenTotal
+            (BloomTable.totalKeys(nb) - seenTotalNow, null, nb)
           }
 
         val newEntries = unseen.select(
@@ -582,9 +679,12 @@ object WaveRunner {
 
         // -- commit (G10): snapshot store (resumable) or localCheckpoint.
         // Either way the committed object is the wave DELTA.
-        val unseenCount = store match {
+        store match {
           case Some(st) =>
-            val n = phase("discover+seen", wave) { buildBloom() }
+            // snapshot mode stays fully synchronous: a committed wave's
+            // marker must imply its seen/bloom state is durable+applied
+            // before the next wave starts (the resume contract)
+            val (n, drv, tbl) = phase("discover+seen", wave) { buildBloom() }
             val metricsDelta = mkMetricsDelta(n)
             st.commitWave(wave, waveDelta, seenDelta, docsDelta, orderDelta,
               metricsDelta)
@@ -602,84 +702,45 @@ object WaveRunner {
             orderDeltas += st.readDelta(wave, "order_delta")
             metricsDeltas += st.readDelta(wave, "metrics_delta")
             unseen.unpersist(); fetched.unpersist()
-            n
+            deltaRowsBound += batchCount
+            fetchedSinceCompaction += batchCount
+            pendingKnown = pendingKnown.map(_ - batchCount)
+            applyBloom(n, drv, tbl)
           case None =>
             // memory mode: deltas stay as views over the persisted `fetched`/
             // `unseen` caches, which live as long as the result does — no
             // per-wave re-materialization of the span data. The deltaState
-            // checkpoint (O(touched keys), bounded by compaction) and the
-            // bloom build run CONCURRENTLY: the jobs are independent (both
-            // first-compute the shared `unseen` cache, which the block
-            // manager serializes per-partition), overlapping fills stage
-            // tails AND hides the bloom plan's driver-side compile under
-            // executor work.
-            val (ds2, n) = phase("delta-ckpt+bloom", wave) {
-              val df = Future {
+            // checkpoint (O(touched keys), bounded by compaction) is awaited
+            // HERE — the next wave's pending view needs it — but the bloom
+            // build future is handed to `pendingBloom` un-awaited: nothing
+            // before the next wave's unseen filter reads the seen state, so
+            // the bloom jobs overlap that wave's whole selection + fetch
+            // (both futures first-compute the shared `unseen` cache, which
+            // the block manager serializes per-partition, so they cooperate
+            // rather than duplicate).
+            val bf = Future { buildBloom() }
+            val ds2 = phase("delta-ckpt", wave) {
+              Await.result(Future {
                 nextDeltaState(waveDelta, fetched.select(col("urlHash")))
                   .localCheckpoint(true)
-              }
-              val bf = Future { buildBloom() }
-              (Await.result(df, Duration.Inf), Await.result(bf, Duration.Inf))
+              }, Duration.Inf)
             }
             deltaState = ds2
             docsDeltas += docsDelta
             orderDeltas += orderDelta
-            metricsDeltas += mkMetricsDelta(n)
             cached += fetched
-            // every consumer of the unseen cache is materialized now (bloom
-            // delta, deltaState checkpoint, seen-delta checkpoint) — release it
-            unseen.unpersist()
-            n
-        }
-        // apply the wave's bloom update (buildBloom already materialized it)
-        if (bloomBroadcast) {
-          if (unseenCount > 0L) bloomDriver.mergeWith(pendingDriverDelta)
-        } else {
-          bloomTable.unpersist()
-          bloomTable = pendingTable
-          seenTotal += unseenCount
-        }
-        deltaRowsBound += batchCount + unseenCount
-        fetchedSinceCompaction += batchCount
-        seenAccRows += unseenCount
-
-        // -- compaction: fold deltas into new base tables — the ONLY
-        // O(frontier) shuffle in the engine, amortized over the waves between
-        // compactions. Done rows move to the append-only doneDeltas views
-        // (they are never re-materialized again).
-        if (deltaRowsBound > cfg.frontierDeltaMaxRows) {
-          phase("compaction", wave) {
-            val dk = deltaState.select(col("urlHash"))
-            val newBasePending = antiKeys(basePending, dk, "urlHash", deltaRowsBound)
-              .select(basePending.columns.map(col): _*)
-              .unionByName(deltaState.filter(col("status") === FrontierStatus.Pending))
-              .repartition(P, col("urlHash"))
-            val newSeenBase = seenAcc match {
-              case Some(acc) => seenBase.unionByName(acc).repartition(P, col("url_hash"))
-              case None      => null
-            }
-            val bpF = Future { newBasePending.localCheckpoint(true) }
-            val sbF =
-              if (newSeenBase == null) Future.successful(seenBase)
-              else Future { newSeenBase.localCheckpoint(true) }
-            val bp2 = Await.result(bpF, Duration.Inf)
-            val sb2 = Await.result(sbF, Duration.Inf)
-            doneDeltas += deltaState.filter(col("status") =!= FrontierStatus.Pending)
-            store.foreach { st =>
-              st.commitFrontierBase(wave,
-                bp2.unionByName(union(spark, doneDeltas.toSeq, FrontierDdl)))
-            }
-            basePending.unpersist(); basePending = bp2
-            if (!(sb2 eq seenBase)) { seenBase.unpersist(); seenBase = sb2 }
-            deltaState = union(spark, Nil, FrontierDdl)
-            seenAccRows = 0L; seenSinceWave = wave + 1
-            fetchedSinceCompaction = 0L
-            deltaRowsBound = 0L
-          }
+            deltaRowsBound += batchCount
+            fetchedSinceCompaction += batchCount
+            pendingKnown = pendingKnown.map(_ - batchCount)
+            pendingBloom = Some((wave, bf, unseen, mkMetricsDelta _))
         }
         wave += 1
       }
     }
+    // a deferred final-wave bloom (loop exited on empty batch, drained
+    // frontier, or maxWaves) resolves before the result is assembled: it
+    // appends the wave's metrics delta and applies the last seen update
+    resolveBloom()
 
     val docs = union(spark, docsDeltas.result(),
       "url string, urlHash long, host string, depth int, wave int, " +
