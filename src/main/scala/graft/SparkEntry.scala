@@ -45,6 +45,7 @@ object SparkEntry {
     // dedup family
     "q_dedup_exact"      -> ((s, d) => Dedup.dedupExact(s, d)),
     "q_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q_dup_clusters"     -> ((s, d) => Dedup.dupClusters(s, d)),
     "q_minhash_lsh"      -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_simhash_pairs"    -> ((s, d) => Dedup.simhashPairs(s, d)),
     // similarity search. The headline ANN queries run FULL probe: every
@@ -100,6 +101,7 @@ object SparkEntry {
     "q_corpus_prep"      -> TextOps.corpusPrepSql,
     "q_dedup_exact"      -> Dedup.dedupExactSql,
     "q_ngram_jaccard"    -> Dedup.ngramJaccardSql,
+    "q_dup_clusters"     -> Dedup.dupClustersSql,
     "q_cosine_topk"      -> Ann.cosineTopkSql,
     "q_ann_lsh"          -> Ann.cosineTopkSqlK(10),
     "q_ann_ivf"          -> Ann.cosineTopkSqlK(10),

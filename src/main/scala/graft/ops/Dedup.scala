@@ -163,6 +163,95 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  // ---- duplicate clusters (connected components over near-dup pairs) ----
+
+  /** Connected components over an undirected edge set — the step a
+    * production dedup pipeline runs AFTER pair generation: near-dup pairs
+    * are edges, a component is one duplicate cluster, and the canonical
+    * survivor is the min doc id. Components are computed by min-label
+    * propagation with POINTER JUMPING — each round (a) hooks every node to
+    * the min label in its neighborhood (one edge⋈label join + agg) and
+    * (b) jumps labels through themselves (one label self-join), which
+    * halves-or-better the remaining pointer distances, so rounds are
+    * O(log n) rather than the O(diameter) of plain neighbor propagation
+    * (a 10^8-doc chain of boilerplate would need 10^8 plain rounds).
+    * Per-round state is localCheckpoint'd: iterative self-referencing plans
+    * otherwise grow exponentially (see WaveRunner's state model).
+    *
+    * Labels only ever decrease, so the label SUM is strictly monotone and
+    * sum-stability is a sound convergence test (one tiny agg action per
+    * round, no row-wise compare job).
+    *
+    * @param nodes one `id` column (every node gets a label, isolated nodes
+    *              become singleton clusters)
+    * @param edges `a_id`, `b_id` pairs (undirected; self/dup edges fine)
+    * @return (doc_id, cluster_id) with cluster_id = min id in the component
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = 64): DataFrame = {
+    val sym = edges.select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
+      .unionByName(edges.select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
+      .localCheckpoint(true) // reused every round — truncate its plan once
+    var labels = nodes.select(col("id").cast("long").as("src"),
+      col("id").cast("long").as("lbl")).localCheckpoint(true)
+    def sumOf(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+    var prev  = sumOf(labels)
+    var iters = 0
+    var done  = false
+    while (!done && iters < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("src").as("dst"), col("lbl").as("nl")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nl")).as("nm"))
+      val hooked = labels.join(nbrMin, Seq("src"), "left")
+        .select(col("src"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+      val jumped = hooked
+        .join(hooked.select(col("src").as("lbl"), col("lbl").as("ll")), Seq("lbl"), "left")
+        .select(col("src"), coalesce(col("ll"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val s = sumOf(jumped)
+      done = s == prev
+      prev = s
+      labels = jumped
+      iters += 1
+    }
+    require(done, s"connectedComponents did not converge in $maxIters rounds")
+    labels.select(col("src").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Driver-contract query: duplicate clusters over the deterministic
+    * adjacent-id candidate pairs verified at token-Jaccard ≥ `threshold`
+    * (sparse at 0.9 — real near-dups, not topical overlap). Every document
+    * is labeled (isolated docs are singleton clusters); `keep` marks the
+    * canonical survivor. Oracle: transitive closure by recursive CTE.
+    */
+  def dupClusters(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    val edges = ngramJaccard(spark, dir).filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"))
+    val nodes = docs(spark, dir).select(col("doc_id").as("id"))
+    connectedComponents(nodes, edges)
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
+  val dupClustersSql: String =
+    """WITH RECURSIVE
+      |tok AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS t
+      |        FROM documents),
+      |e AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |      FROM tok a JOIN tok b ON a.doc_id + 1 = b.doc_id
+      |      WHERE round(len(list_intersect(a.t, b.t))
+      |        / greatest(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)), 1), 4) >= 0.9),
+      |sym AS (SELECT a_id AS src, b_id AS dst FROM e
+      |        UNION ALL SELECT b_id, a_id FROM e
+      |        UNION ALL SELECT doc_id, doc_id FROM documents),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM sym
+      |  UNION
+      |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+      |SELECT src AS doc_id, min(dst) AS cluster_id,
+      |  (src = min(dst)) AS keep
+      |FROM reach GROUP BY src""".stripMargin
+
   // ---- SimHash ----
 
   /** 64-bit SimHash over distinct tokens: one aggregate HOF accumulating 64

@@ -186,6 +186,36 @@ class OpsSpec extends SparkSpec {
     assert(a.forall(m => Set("jpeg", "png", "wav", "mp4")(m.format)))
   }
 
+  test("connected components match a sequential union-find on random graphs; chain converges in O(log n)") {
+    // deterministic pseudo-random edge sets, checked against a driver-side
+    // union-find (the sequential oracle for the distributed algorithm)
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    def check(n: Int, edges: Seq[(Long, Long)]): Unit = {
+      val nodesDF = spark.range(n.toLong).toDF("id")
+      val edgesDF = edges.toDF("a_id", "b_id")
+      val got = graft.ops.Dedup.connectedComponents(nodesDF, edgesDF)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === unionFind(n, edges))
+    }
+    // random graph (fixed seed), with dup + self edges
+    val rnd = new scala.util.Random(7)
+    val rand = (0 until 120).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+    check(80, rand ++ rand.take(10) ++ Seq((5L, 5L)))
+    // worst-case chain: plain neighbor propagation needs O(n) rounds; the
+    // pointer-jumping variant must finish inside the 64-round bound
+    check(64, (0L until 63L).map(i => (i, i + 1)))
+    // isolated nodes stay singleton clusters
+    check(6, Seq((0L, 1L)))
+  }
+
   test("fingerprint: whitespace-normalized dup detection") {
     val df = Seq((0L, "Hello   World"), (1L, "hello world"), (2L, "other text"))
       .toDF("doc_id", "text")
