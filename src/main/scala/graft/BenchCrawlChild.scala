@@ -56,7 +56,14 @@ object BenchCrawlChild {
       .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
       .appName(s"graft-bench-child-$cores")
       .config("spark.sql.shuffle.partitions", (cores * 2).toString) // 2x cores: stage tails overlap
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE OFF in the bench children (GRAFT_AQE=true restores for A/B):
+      // every shuffle is already explicitly sized, so AQE's per-stage
+      // re-planning is pure driver latency with no executor to hide behind
+      // in local mode — measured equal-or-better with it off at BOTH widths
+      // (best-of: 28.9k vs 26.6k at 8 cores, 10.0k vs 9.2k at 2). On a real
+      // cluster leave it ON: runtime skew-join handling matters there.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_AQE", "false"))
       // local mode: shuffle files hit the page cache and the cache is heap —
       // lz4/columnar compression is pure CPU+bandwidth overhead here (on a
       // real cluster with network shuffle + memory pressure, leave them on)
@@ -132,7 +139,10 @@ object BenchCrawlChild {
       .master(s"local[$threads]")
       .appName(s"graft-maponly-$threads")
       .config("spark.sql.shuffle.partitions", (threads * 2).toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      // same AQE setting as the engine children — the ceiling must bound the
+      // engine under the SAME session regime to be a fair contemporaneous bar
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.shuffle.compress", "false")
@@ -143,7 +153,10 @@ object BenchCrawlChild {
     val cfg = SiteConfig(universities = 256, deptsPerU = 1, facultyPerDept = 64,
       errorFraction = 0.0, pubsPerFaculty = 12, bioWords = 250)
     val fetcher = SyntheticSite.htmlFetcher(cfg)
-    val nPages  = 120000
+    // 60k pages ≈ 2.5-3 s per timed run at 2 threads — long enough to
+    // stream from DRAM past warmup, half the round-3 wall-clock (the
+    // ceiling is a RATE ratio; halving the page count doesn't move it)
+    val nPages  = 60000
     val urls = (0 until nPages).map(i => SyntheticSite.profileUrl(i % 256, 0, i % 64))
     val ds = spark.createDataset(urls).repartition(threads * 3).cache()
     ds.count() // materialize the input so runs time only the fetch stage
