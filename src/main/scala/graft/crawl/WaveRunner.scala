@@ -514,8 +514,12 @@ object WaveRunner {
       // Size fetch parallelism by request count, NOT by shuffle bytes: the
       // selection output is tiny (batch rows), so AQE would coalesce it to
       // ~1 partition and run the expensive fetch+encode stage serially.
-      // Explicit repartition pins P fetch tasks (at cluster scale: one unit
-      // of politeness-bounded fetch work per core).
+      // Explicit repartition pins P*3 fetch tasks (at cluster scale: one
+      // unit of politeness-bounded fetch work per core). Measured round 4
+      // with AQE off: running the fetch directly on the selection reducers
+      // (16 host-hashed partitions at 8 cores) is NOT faster — the saved
+      // batch shuffle is repaid in coarser task granularity at the stage
+      // tail — so the round-robin stays unconditional.
       val batch = selected.repartition(P * 3)
 
       // wave id travels in the closure, not as a lit() column: an inlined
