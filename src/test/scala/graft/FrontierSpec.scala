@@ -125,6 +125,31 @@ class FrontierSpec extends SparkSpec {
     assert(a === c)
   }
 
+  test("TopKBuf heap: random insert/merge sequences equal sorted top-k (unit property)") {
+    // direct property on the struct-encoded heap buffer (r4): any split of a
+    // candidate stream into partial buffers, merged in any order, must
+    // finish as exactly the SelOrd-sorted top-k — the invariant the UDAF's
+    // partial aggregation relies on
+    val rnd = new scala.util.Random(11)
+    def cand(id: Long) = graft.frontier.SelCand(s"u$id", id, "h", 1,
+      (id % 17).toDouble, 0, 0, id, "", budget = 9L)
+    (1 to 20).foreach { _ =>
+      val n = 1 + rnd.nextInt(60)
+      val all = rnd.shuffle((0L until 200L).toList).take(n).map(cand)
+      // split into 1-4 partial buffers
+      val parts = all.grouped(1 + rnd.nextInt(4)).toList
+      val bufs = parts.map { p =>
+        val b = new WaveSelector.TopKSelectAgg().zero
+        p.foreach(b.insert)
+        b
+      }
+      val merged = bufs.reduce { (a, b) => new WaveSelector.TopKSelectAgg().merge(a, b) }
+      val got = new WaveSelector.TopKSelectAgg().finish(merged).toSeq
+      val want = all.sorted(WaveSelector.SelOrd).take(9)
+      assert(got === want, s"n=$n")
+    }
+  }
+
   test("per-host per-wave budget is never exceeded (politeness invariant)") {
     val rows = (1 to 500).map(i => (s"h${i % 3}", i.toDouble, i.toLong))
     val df = rows.toDF("host", "priority", "urlHash")
