@@ -316,6 +316,12 @@ object Bench {
         f""""payload_ceiling":${payloadCeil.getOrElse(-1.0)}%.3f,""" +
         f""""sparkmap_ceiling":${sparkCeil.getOrElse(-1.0)}%.3f,""" +
         f""""samples_n":${rates(_.n)},"samples_4n":${rates(_.n4)},""" +
+        // pair-matched raws: the headline composes per-level maxima (the
+        // conservative reading — an asymmetric window that caps one level
+        // drags it down), while each pair's own same-window ratio is the
+        // interleaving's raison d'être; emit both so a consumer can read
+        // whichever composition their question needs
+        pairs.map(p => f"${p.raw}%.3f").mkString(""""pair_raws":[""", ",", "],") +
         f""""pair_valid":$validJson,"window_retries":$windowRetries,""" +
         f""""discarded_pairs":${pairs.count(!_.valid)},"degraded":$degraded,""" +
         f""""sharded_rate_4n_urls_per_sec":${sharded.rate}%.1f,""" +
