@@ -245,8 +245,14 @@ object Bench {
       def ceilRatios: Seq[Double] = (n4.ceil.toSeq ++ n4.ceilSpark.toSeq).map(ratio)
       def valid: Boolean = ceilRatios.forall(_ <= 1.05) && raw <= 1.05
     }
+    // TWO baseline pairs (plus bounded on-demand retries) rather than round
+    // 3's three blind children per level: the validity checks catch the
+    // corruption a third blind sample was insurance against, and the driver
+    // runs this protocol under an unknown wall-clock budget — a missing
+    // artifact is worse than a slightly noisier one (run A of the 3-pair
+    // protocol measured ~35 min in a degraded window, 3.2× round 3's 651 s).
     def runPair() = Pair(crawlRate(nCores), crawlRate(n4Cores))
-    val pairs = scala.collection.mutable.Buffer(runPair(), runPair(), runPair())
+    val pairs = scala.collection.mutable.Buffer(runPair(), runPair())
     var windowRetries = 0
     while (pairs.count(_.valid) < 2 && windowRetries < 2) {
       windowRetries += 1
