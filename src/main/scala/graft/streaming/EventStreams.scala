@@ -33,6 +33,22 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
       .select(col("w.start").as("minute"), col("event_type"), col("n"), col("value_sum"))
 
+  /** Streaming URL-seen analog: exactly-once emission per `url_hash` for
+    * events arriving within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` keyed on the hash). The state store
+    * holds only keys younger than the horizon and evicts them as the
+    * watermark advances — state is O(keys per horizon), never O(all
+    * history), which is the continuous-crawl counterpart of the batch
+    * engine's compacted seen-base + bounded delta residency (a plain
+    * `dropDuplicates` under a watermark would pin every key forever unless
+    * the event time itself were part of the dedup key).
+    */
+  def dedupStream(events: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("url_hash")
+
   final case class Request(host: String, ts: java.sql.Timestamp)
   final case class BucketState(tokens: Double, lastRefillMs: Long)
   final case class Decision(host: String, tsMs: Long, allowed: Boolean, tokensAfter: Double)

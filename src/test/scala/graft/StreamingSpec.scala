@@ -38,6 +38,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+
+  test("streaming dedup: exactly-once per url_hash within the watermark (URL-seen analog)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = EventStreams.dedupStream(
+      mem.toDF().toDF("url_hash", "ts", "url"), horizon = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // duplicates inside one batch AND across batches within the horizon
+      mem.addData((1L, ts(0), "a"), (2L, ts(1), "b"), (1L, ts(2), "a"))
+      q.processAllAvailable()
+      mem.addData((1L, ts(3), "a"), (3L, ts(4), "c"), (3L, ts(5), "c"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.length === 3, rows.mkString(","))
+      assert(rows.map(_.getAs[Long]("url_hash")).toSet === Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("token bucket: burst then refill, per-host isolation (scraper.py:83 analog)") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
     val reqs = Seq(
