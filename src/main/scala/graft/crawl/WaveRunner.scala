@@ -418,8 +418,14 @@ object WaveRunner {
     // shared post-bloom bookkeeping: merge the wave's filter delta, account
     // its discoveries, then (possibly) compact — the compaction check sits
     // here so the deferred path still compacts within one wave of the
-    // threshold (bounded slack, documented on frontierDeltaMaxRows)
-    def applyBloom(n: Long, drvDelta: SeenPreFilter,
+    // threshold (bounded slack, documented on frontierDeltaMaxRows).
+    // `committedWave` is the wave whose delta is being applied — NOT the
+    // loop's current `wave` var: the deferred path resolves after the loop
+    // advanced, and the compaction watermark must be derived from the wave
+    // the discoveries were stamped against (committedWave + 1), or the
+    // in-flight wave's discoveries are excluded from the seen accumulator
+    // forever (never folded into seenBase → re-fetch on rediscovery).
+    def applyBloom(committedWave: Int, n: Long, drvDelta: SeenPreFilter,
         tblDelta: Dataset[BloomShard]): Unit = {
       if (bloomBroadcast) {
         if (n > 0L) bloomDriver.mergeWith(drvDelta)
@@ -431,7 +437,7 @@ object WaveRunner {
       deltaRowsBound += n
       seenAccRows += n
       pendingKnown = pendingKnown.map(_ + n)
-      maybeCompact()
+      maybeCompact(committedWave)
     }
 
     def resolveBloom(): Unit = pendingBloom.foreach { case (w, fut, unseenCache, mkMetrics) =>
@@ -439,15 +445,15 @@ object WaveRunner {
       metricsDeltas += mkMetrics(n)
       unseenCache.unpersist()
       pendingBloom = None
-      applyBloom(n, drv, tbl)
+      applyBloom(w, n, drv, tbl)
     }
 
     // -- compaction: fold deltas into new base tables — the ONLY O(frontier)
     // shuffle in the engine, amortized over the waves between compactions.
     // Done rows move to the append-only doneDeltas views (they are never
     // re-materialized again).
-    def maybeCompact(): Unit = if (deltaRowsBound > cfg.frontierDeltaMaxRows) {
-      phase("compaction", wave) {
+    def maybeCompact(committedWave: Int): Unit = if (deltaRowsBound > cfg.frontierDeltaMaxRows) {
+      phase("compaction", committedWave) {
         val dk = deltaState.select(col("urlHash"))
         val newBasePending = antiKeys(basePending, dk, "urlHash", deltaRowsBound)
           .select(basePending.columns.map(col): _*)
@@ -465,13 +471,19 @@ object WaveRunner {
         val sb2 = Await.result(sbF, Duration.Inf)
         doneDeltas += deltaState.filter(col("status") =!= FrontierStatus.Pending)
         store.foreach { st =>
-          st.commitFrontierBase(wave,
+          st.commitFrontierBase(committedWave,
             bp2.unionByName(union(spark, doneDeltas.toSeq, FrontierDdl)))
         }
         basePending.unpersist(); basePending = bp2
         if (!(sb2 eq seenBase)) { seenBase.unpersist(); seenBase = sb2 }
         deltaState = union(spark, Nil, FrontierDdl)
-        seenAccRows = 0L; seenSinceWave = wave + 1
+        // watermark = the wave the folded deltas were committed against:
+        // wave w's discoveries are stamped discoveredWave = w + 1 and ARE
+        // folded above (seenAcc was evaluated with the old watermark), so
+        // anything stamped > committedWave + 1 is exactly the not-yet-folded
+        // set. Using the loop's `wave` here is wrong in the deferred path
+        // (it has already advanced) — regression-tested in CrawlDepth2Spec.
+        seenAccRows = 0L; seenSinceWave = committedWave + 1
         fetchedSinceCompaction = 0L
         deltaRowsBound = 0L
       }
@@ -709,7 +721,7 @@ object WaveRunner {
             deltaRowsBound += batchCount
             fetchedSinceCompaction += batchCount
             pendingKnown = pendingKnown.map(_ - batchCount)
-            applyBloom(n, drv, tbl)
+            applyBloom(wave, n, drv, tbl)
           case None =>
             // memory mode: deltas stay as views over the persisted `fetched`/
             // `unseen` caches, which live as long as the result does — no

@@ -4,7 +4,7 @@ import graft.crawl.WaveRunner
 import graft.crawl.WaveRunner.CrawlConfig
 import graft.model.RobotsRule
 import graft.synth.SyntheticSite
-import graft.synth.SyntheticSite.SiteConfig
+import graft.synth.SyntheticSite.{Seed, SiteConfig}
 
 /** Frontier dynamics beyond the reference scenario: depth-2 crawls where
   * profile pages link back to the index and to collaborators — every such
@@ -74,6 +74,40 @@ class CrawlDepth2Spec extends SparkSpec {
     assert(fetched.count(_._1 == host1) === 5)
     // host0 fetches its 2 allowed profiles at 1/wave → 3 waves total
     assert(engine.waves === 3)
+  }
+
+  test("deferred-bloom compaction keeps multi-wave discoveries in seen (watermark regression)") {
+    // Chain site: seed -> /a -> /b — genuinely NEW URLs are discovered at
+    // every depth, unlike the synthetic site (which discovers everything at
+    // wave 0). frontierDeltaMaxRows = 1 forces a compaction after every
+    // wave. Regression for the deferred-bloom watermark: resolveBloom runs
+    // after the loop advanced `wave`, so a compaction there must derive the
+    // seen watermark from the COMMITTED wave, not the current one —
+    // otherwise the in-flight wave's discoveries (here /b) are excluded
+    // from the seen accumulator forever: missing from the final seen set
+    // and eligible for re-fetch on rediscovery.
+    import graft.model.{Span, SpanDoc}
+    val seed = "https://chain.test/"
+    val a    = "https://chain.test/a"
+    val b    = "https://chain.test/b"
+    def page(self: String, next: Option[String]): SpanDoc = SpanDoc(self,
+      (Seq(Span("heading", "Page", "", 0)) ++
+        next.map(n => Span("link", "next", n, 1))).toArray)
+    val fetcher: String => Option[SpanDoc] = {
+      case `seed` => Some(page(seed, Some(a)))
+      case `a`    => Some(page(a, Some(b)))
+      case `b`    => Some(page(b, None))
+      case _      => None
+    }
+    val engine = WaveRunner.run(spark, Seq(Seed(seed, 0, "U", "D")), fetcher, Nil,
+      CrawlConfig(maxDepth = 2, waveSeconds = 3.0, frontierDeltaMaxRows = 1L))
+    val seen = engine.seen.select("url").collect().map(_.getString(0)).toSet
+    assert(seen === Set(seed, a, b),
+      "every discovered URL must survive compaction into the final seen set")
+    val urls = engine.crawlOrder.select("url").collect().map(_.getString(0)).toSeq
+    assert(urls.sorted === Seq(seed, a, b).sorted)
+    assert(urls.distinct.length === urls.length, "no URL may be fetched twice")
+    engine.release()
   }
 
   test("retries: failed fetches re-enter the frontier up to maxRetries, then error out") {
