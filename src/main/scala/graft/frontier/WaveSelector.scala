@@ -87,6 +87,11 @@ object WaveSelector {
     * The heap layout is just array order, so it round-trips the encoder
     * untouched.
     */
+  /** Sentinel budget of a buffer that has not yet absorbed a row (budgets
+    * from [[Robots.waveBudget]] are ≥ 0, so -1 is unreachable as data).
+    */
+  val UnsetK: Long = -1L
+
   final case class TopKBuf(var k: Long, var n: Int, var items: Array[SelCand]) {
     private def worse(i: Int, j: Int): Boolean =
       SelOrd.compare(items(i), items(j)) > 0
@@ -110,7 +115,14 @@ object WaveSelector {
       }
     }
     def insert(c: SelCand): Unit = {
-      if (c.budget > k) k = c.budget
+      // the buffer's k IS the host's budget — constant per host by contract
+      // (see TopKSelectAgg). UnsetK marks a zero buffer that has seen no row
+      // yet; a second, different budget on the same host is caller misuse
+      // that would silently mis-size the selection, so it fails loudly here.
+      if (k == UnsetK) k = c.budget
+      else require(c.budget == k,
+        s"TopKSelectAgg requires a constant per-host budget (the aggregation " +
+          s"key is host): host ${c.host} carries budgets $k and ${c.budget}")
       if (n < k) {
         if (n == items.length) {
           val cap = math.min(math.max(16L, k), 1L + items.length * 2L).toInt
@@ -135,25 +147,31 @@ object WaveSelector {
     * prune pushed into map-side combine (and skew-immune: a hot host's final
     * merge combines ≤ P bounded buffers, not its raw rows).
     *
-    * Requires `budget` constant per host (it is: budget derives from the
-    * host-level crawl delay in [[Robots.waveBudget]], and the aggregation
-    * key is the host).
+    * REQUIRES `budget` constant per host (true for the engine's own caller:
+    * budget derives from the host-level crawl delay in [[Robots.waveBudget]],
+    * and the aggregation key is the host). The contract is ENFORCED — a
+    * library user feeding per-row budgets gets an immediate
+    * IllegalArgumentException naming the host, not a silently mis-sized
+    * batch (round-4 verdict #3).
     */
   final class TopKSelectAgg extends Aggregator[SelCand, TopKBuf, Array[SelCand]] {
-    def zero: TopKBuf = TopKBuf(1L, 0, new Array[SelCand](16))
+    def zero: TopKBuf = TopKBuf(UnsetK, 0, new Array[SelCand](16))
     def reduce(b: TopKBuf, cand: SelCand): TopKBuf = {
       b.insert(cand)
       b
     }
     def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
-      if (b.k > a.k) a.k = b.k
+      if (a.k == UnsetK) a.k = b.k
+      else require(b.k == UnsetK || b.k == a.k,
+        s"TopKSelectAgg requires a constant per-host budget (the aggregation " +
+          s"key is host): merged buffers carry budgets ${a.k} and ${b.k}")
       var i = 0
       while (i < b.n) { a.insert(b.items(i)); i += 1 }
       a
     }
     def finish(b: TopKBuf): Array[SelCand] = {
       java.util.Arrays.sort(b.items, 0, b.n, SelOrd)
-      val out = math.min(b.k, b.n.toLong).toInt
+      val out = math.min(math.max(b.k, 0L), b.n.toLong).toInt
       java.util.Arrays.copyOfRange(b.items, 0, out)
     }
     def bufferEncoder: Encoder[TopKBuf] = {

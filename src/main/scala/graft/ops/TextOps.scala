@@ -34,14 +34,33 @@ object TextOps {
     // are one file each, where the bound is exact — and at real data scale
     // the estimate clears `target` and this stays a no-op.
     val files = df.inputFiles
-    if (files.isEmpty) return df
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val hconf    = spark.sessionState.newHadoopConf()
-    val splits = files.iterator.map { f =>
-      val p   = new org.apache.hadoop.fs.Path(f)
-      val len = p.getFileSystem(hconf).getFileStatus(p).getLen
-      math.max(1L, (len + maxSplit - 1) / maxSplit)
-    }.sum
+    val splits: Long =
+      if (files.isEmpty)
+        // not file-backed (in-memory view): no metadata to estimate from —
+        // fall back to the physical partition count. Rare (every production
+        // caller hands a parquet scan), so the plan-build cost is confined
+        // to that case rather than paid per query (ADVICE r3).
+        df.rdd.getNumPartitions.toLong
+      else {
+        val openCost = spark.sessionState.conf.filesOpenCostInBytes
+        val hconf    = spark.sessionState.newHadoopConf()
+        val lens = files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(hconf).getFileStatus(p).getLen
+        }
+        // Two bounds on the packed scan's partition count (ADVICE r4): the
+        // per-file ceil sum is exact for few large files but OVERCOUNTS a
+        // table of many sub-split files (FilePartition packs those together,
+        // each padded by openCostInBytes), where the packing bound
+        // ceil(paddedBytes / maxSplit) is the right estimate. Take the min —
+        // underestimating only risks a repartition of a corpus small enough
+        // to have packed below `target`, which is exactly the case the
+        // repartition exists for.
+        val perFile = lens.iterator.map(l => math.max(1L, (l + maxSplit - 1) / maxSplit)).sum
+        val packed  = (lens.sum + lens.length.toLong * openCost + maxSplit - 1) / maxSplit
+        math.min(perFile, math.max(1L, packed))
+      }
     if (splits < target) df.repartition(target) else df
   }
 

@@ -150,6 +150,38 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("selectAgg rejects differing budgets on one host (constant-budget contract)") {
+    // the UDAF sizes each host's selection by its budget, which must be
+    // host-constant (the engine derives it from the host crawl delay); a
+    // caller passing per-row budgets must fail loudly, not get a silently
+    // mis-sized batch
+    def cand(id: Long, budget: Long) =
+      graft.frontier.SelCand(s"u$id", id, "h", 1, 1.0, 0, 0, id, "", budget)
+    val b = new WaveSelector.TopKSelectAgg().zero
+    b.insert(cand(1L, 4L))
+    val exIns = intercept[IllegalArgumentException] { b.insert(cand(2L, 5L)) }
+    assert(exIns.getMessage.contains("constant per-host budget"))
+    val b2 = new WaveSelector.TopKSelectAgg().zero
+    b2.insert(cand(3L, 5L))
+    val exMrg = intercept[IllegalArgumentException] {
+      new WaveSelector.TopKSelectAgg().merge(b, b2)
+    }
+    assert(exMrg.getMessage.contains("constant per-host budget"))
+    // end-to-end: the contract violation surfaces as a job failure
+    val df = Seq(("h", 1.0, 1L, 4L), ("h", 2.0, 2L, 5L))
+      .toDF("host", "priority", "urlHash", "budget")
+      .withColumn("discoveredWave", lit(0))
+      .withColumn("discoveredRank", col("urlHash"))
+      .withColumn("url", concat(lit("u"), col("urlHash")))
+      .withColumn("depth", lit(1))
+      .withColumn("retries", lit(0))
+      .withColumn("parentUrl", lit(""))
+    val exJob = intercept[Exception] { WaveSelector.selectAgg(df).collect() }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(chain(exJob).exists(m => m != null && m.contains("constant per-host budget")))
+  }
+
   test("per-host per-wave budget is never exceeded (politeness invariant)") {
     val rows = (1 to 500).map(i => (s"h${i % 3}", i.toDouble, i.toLong))
     val df = rows.toDF("host", "priority", "urlHash")
