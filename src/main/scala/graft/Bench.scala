@@ -29,7 +29,10 @@ object Bench {
     "q_flagship_agg", "q_agg_lineitem", "q_topk_revenue", "q_window_rank",
     "q_semi_anti", "q_tfidf_cosine", "q_minhash_lsh", "q_cosine_topk",
     "q_dedup_exact", "q_token_stats", "q_quality_score", "q_events_window",
-    "q_text_search", "q_corpus_prep")
+    "q_text_search", "q_corpus_prep",
+    // iterative + banded dedup operators tracked round-over-round (r4 verdict
+    // #4): the CC queries also log per-round label stats (graft.cc.debug)
+    "q_dup_clusters", "q_dup_clusters_lsh", "q_simhash_pairs")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -82,13 +85,18 @@ object Bench {
     * samples per level) damp the sandbox's run-to-run jitter (up to 60% in
     * single runs) while bounding the crawl section's wall clock.
     */
-  private def crawlRate(cpus: Int, env: Map[String, String] = Map.empty): ChildResult = {
-    val b = benchSite
-    forkPinnedChild(cpus, Seq(b.universities, b.deptsPerU, b.facultyPerDept)
-      .map(_.toString) ++ Seq(benchCrawl.waveSeconds.toString, "2",
-        benchCrawl.saltShards.toString), env)
+  private def crawlRate(cpus: Int, env: Map[String, String] = Map.empty,
+      site: SiteConfig = benchSite,
+      waveSeconds: Double = benchCrawl.waveSeconds): ChildResult = {
+    forkPinnedChild(cpus, Seq(site.universities, site.deptsPerU,
+      site.facultyPerDept).map(_.toString) ++ Seq(waveSeconds.toString, "2",
+        benchCrawl.saltShards.toString, site.errorFraction.toString,
+        site.pubsPerFaculty.toString, site.bioWords.toString), env)
       .getOrElse {
-        val (rate, urls) = inProcessRate(cpus)
+        // the fallback honors the SAME env contract as the child (ADVICE r4:
+        // a sharded-regime request silently ran the broadcast regime here,
+        // so sharded_over_broadcast reported a non-sharded rate unflagged)
+        val (rate, urls) = inProcessRate(cpus, env, site, waveSeconds)
         ChildResult(rate, urls, pinned = false, ceil = None, ceilSpark = None)
       }
   }
@@ -129,17 +137,29 @@ object Bench {
       }
     } catch { case _: Throwable => None }
 
-  private def inProcessRate(cpus: Int): (Double, Long) = {
+  private def inProcessRate(cpus: Int, env: Map[String, String],
+      site: SiteConfig, waveSeconds: Double): (Double, Long) = {
     val spark = session(cpus)
+    // mirror BenchCrawlChild's env contract (regime/selector/wave bound) so
+    // an unpinned fallback still measures the requested configuration
+    val base = benchCrawl.copy(waveSeconds = waveSeconds,
+      selector = env.getOrElse("GRAFT_SELECTOR", CrawlConfig().selector),
+      maxWaves = env.get("GRAFT_MAX_WAVES").map(_.toInt)
+        .getOrElse(CrawlConfig().maxWaves))
+    val cfg =
+      if (env.get("GRAFT_REGIME").contains("sharded"))
+        base.copy(bloomBroadcastMaxBytes = 0L, rulesBroadcastMaxRows = 0L,
+          deltaBroadcastMaxRows = 0L)
+      else base
     val warmSite = SiteConfig(universities = 1, deptsPerU = 1, facultyPerDept = 4)
     WaveRunner.run(spark, SyntheticSite.seeds(warmSite),
-      SyntheticSite.htmlFetcher(warmSite), Nil, benchCrawl).release()
-    val seeds   = SyntheticSite.seeds(benchSite)
-    val fetcher = SyntheticSite.htmlFetcher(benchSite)
+      SyntheticSite.htmlFetcher(warmSite), Nil, cfg).release()
+    val seeds   = SyntheticSite.seeds(site)
+    val fetcher = SyntheticSite.htmlFetcher(site)
     val runs = (1 to 2).map { _ =>
       System.gc()
       val t0      = System.nanoTime()
-      val result  = WaveRunner.run(spark, seeds, fetcher, Nil, benchCrawl)
+      val result  = WaveRunner.run(spark, seeds, fetcher, Nil, cfg)
       val rate    = (result.fetches / ((System.nanoTime() - t0) / 1e9), result.fetches)
       result.release()
       rate
@@ -185,6 +205,9 @@ object Bench {
     val crawlOnly = args.contains("--crawl-only")
 
     // 1. headline queries at the driver-provided parallelism
+    // per-round label stats for the iterative CC queries land on stderr
+    // (round count, max label multiplicity, salt activation — r4 verdict #4)
+    sys.props("graft.cc.debug") = "1"
     val spark = session(cpus)
     // Warmup: one cheap representative query per TABLE FAMILY, so session,
     // codegen/JIT, and parquet-footer first-touch costs stay out of every
@@ -290,11 +313,57 @@ object Bench {
       else f"${math.min(1.0, rawEff / math.min(1.0, ceiling))}%.3f"
     val pinned = n.pinned && n4.pinned
 
-    // one extra wide child with every beyond-broadcast regime forced
-    // (sharded Bloom table, shuffle-regime robots, shuffled key anti-joins):
-    // evidences the 10^10 path's CONSTANTS on the same corpus (ask #4)
-    val sharded = crawlRate(n4Cores,
-      Map("GRAFT_REGIME" -> "sharded", "GRAFT_SKIP_CEIL" -> "1"))
+    // sharded-regime artifact, PAIR-MATCHED (r4 verdict #1): the round-4
+    // composition divided one window's sharded rate by the best-of-protocol
+    // broadcast maximum — exactly the cross-window asymmetry the pair
+    // protocol exists to kill. Now the forced-sharded children (sharded
+    // Bloom table, shuffle-regime robots, shuffled key anti-joins — the
+    // 10^10 path's constants) run back-to-back with a contemporaneous
+    // broadcast child in the SAME window, and `sharded_over_broadcast` is
+    // that pair's ratio; the cross-protocol number stays as a secondary
+    // field. A sharded child at N as well gives the sharded regime its OWN
+    // N→4N scaling ratio, not just a cost ratio. One bounded retry when the
+    // trio's internal ratios are physically impossible (>1.05 = a tenancy
+    // window corrupted one leg).
+    val skipCeil   = Map("GRAFT_SKIP_CEIL" -> "1")
+    val shardedEnv = skipCeil + ("GRAFT_REGIME" -> "sharded")
+    def runShardedTrio() = (
+      crawlRate(n4Cores, skipCeil),   // contemporaneous broadcast bar
+      crawlRate(n4Cores, shardedEnv), // sharded at 4N
+      crawlRate(nCores, shardedEnv))  // sharded at N
+    var (shCtx, sh4, shN) = runShardedTrio()
+    def shardedRaw = (sh4.rate / shN.rate) / (n4Cores.toDouble / nCores)
+    def shardedPairOk = sh4.rate / shCtx.rate <= 1.05 && shardedRaw <= 1.05
+    var shardedRetries = 0
+    if (!shardedPairOk) {
+      shardedRetries += 1
+      val t = runShardedTrio(); shCtx = t._1; sh4 = t._2; shN = t._3
+    }
+
+    // politeness-real selection regime (r4 verdict #2): the agg selector's
+    // reason to exist — O(hosts×budget) selection shuffle when budgets BIND
+    // (budget ≪ per-host pending) — wall-clock measured for the first time.
+    // 256 hosts, budget 8/wave, a fixed 6-wave timing window, frontier depth
+    // 100 vs 1000 per host (~10× pending): the window selector re-shuffles
+    // and re-windows EVERY pending row each wave, so its rate degrades with
+    // depth; the agg selector ships bounded per-host buffers and holds. Both
+    // selectors share discovery/scan costs, so the comparison is
+    // within-depth agg-vs-window and across-depth retention.
+    val selEnv = skipCeil + ("GRAFT_MAX_WAVES" -> "7")
+    // GRAFT_BENCH_SELHOSTS shrinks the selection corpus for harness smoke
+    // tests (same role as GRAFT_BENCH_UNIS for the scaling corpus)
+    val selHosts = sys.env.getOrElse("GRAFT_BENCH_SELHOSTS", "256").toInt
+    def selSite(f: Int) = SiteConfig(universities = selHosts, deptsPerU = 1,
+      facultyPerDept = f, errorFraction = 0.0, pubsPerFaculty = 2, bioWords = 40)
+    def selRate(selector: String, f: Int): Double =
+      crawlRate(n4Cores, selEnv + ("GRAFT_SELECTOR" -> selector),
+        site = selSite(f), waveSeconds = 8.0).rate
+    // interleave selectors within each depth so each comparison shares its
+    // tenancy window
+    val selAggSmall = selRate("agg", 100)
+    val selWinSmall = selRate("window", 100)
+    val selAggDeep  = selRate("agg", 1000)
+    val selWinDeep  = selRate("window", 1000)
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -313,7 +382,7 @@ object Bench {
         // per-pair validity, retry count, degraded flag, and the sharded-
         // regime rate.
         f""""rate_4n_urls_per_sec":${n4.rate}%.1f,""" +
-        f""""bench_schema":4,""" +
+        f""""bench_schema":5,""" +
         f""""scaling_efficiency":$rawEff%.3f,""" +
         f""""scaling_efficiency_normalized":$normalizedJson,""" +
         f""""normalized_kind":"raw_over_workload_ceiling",""" +
@@ -330,8 +399,28 @@ object Bench {
         pairs.map(p => f"${p.raw}%.3f").mkString(""""pair_raws":[""", ",", "],") +
         f""""pair_valid":$validJson,"window_retries":$windowRetries,""" +
         f""""discarded_pairs":${pairs.count(!_.valid)},"degraded":$degraded,""" +
-        f""""sharded_rate_4n_urls_per_sec":${sharded.rate}%.1f,""" +
-        f""""sharded_over_broadcast":${sharded.rate / n4.rate}%.3f,""" +
+        // sharded-regime artifact (pair-matched, bench_schema 5):
+        // `sharded_over_broadcast` is measured against the broadcast child
+        // run in the SAME window; `_protocol` keeps the round-4 cross-window
+        // composition for comparability; `sharded_raw_efficiency` is the
+        // sharded regime's own N→4N ratio
+        f""""sharded_rate_n_urls_per_sec":${shN.rate}%.1f,""" +
+        f""""sharded_rate_4n_urls_per_sec":${sh4.rate}%.1f,""" +
+        f""""broadcast_ctx_rate_4n_urls_per_sec":${shCtx.rate}%.1f,""" +
+        f""""sharded_over_broadcast":${sh4.rate / shCtx.rate}%.3f,""" +
+        f""""sharded_over_broadcast_protocol":${sh4.rate / n4.rate}%.3f,""" +
+        f""""sharded_raw_efficiency":$shardedRaw%.3f,""" +
+        f""""sharded_pair_valid":$shardedPairOk,""" +
+        f""""sharded_retries":$shardedRetries,""" +
+        f""""sharded_pinned":${shN.pinned && sh4.pinned && shCtx.pinned},""" +
+        // politeness-real selection regime: URLs/sec over a fixed 7-wave
+        // window at budget 8/host/wave, per-host frontier depth 100 vs 1000
+        f""""selection_bench":{"agg_small":$selAggSmall%.1f,""" +
+        f""""window_small":$selWinSmall%.1f,"agg_deep":$selAggDeep%.1f,""" +
+        f""""window_deep":$selWinDeep%.1f,""" +
+        f""""agg_deep_retention":${selAggDeep / selAggSmall}%.3f,""" +
+        f""""window_deep_retention":${selWinDeep / selWinSmall}%.3f,""" +
+        f""""agg_over_window_deep":${selAggDeep / selWinDeep}%.3f},""" +
         f""""n_cores":$nCores,"4n_cores":$n4Cores,"pinned":$pinned}}""")
   }
 }

@@ -25,15 +25,22 @@ object BenchCrawlChild {
     val cores = args(0).toInt
     val site = SiteConfig(
       universities = args(1).toInt, deptsPerU = args(2).toInt,
-      facultyPerDept = args(3).toInt, errorFraction = 0.05, pubsPerFaculty = 12,
-      bioWords = 250) // ~2 KB prose per profile: realistic page weight
+      facultyPerDept = args(3).toInt,
+      errorFraction = if (args.length > 7) args(7).toDouble else 0.05,
+      pubsPerFaculty = if (args.length > 8) args(8).toInt else 12,
+      bioWords = if (args.length > 9) args(9).toInt else 250) // default ~2 KB prose per profile: realistic page weight
     // saltShards=1 by default: the bench corpus is host-uniform, so the skew
     // pre-prune's extra window pass is pure overhead here (the salted path's
     // exactness and skew behavior are covered by FrontierSpec/CrawlDepth2Spec)
     val base = CrawlConfig(waveSeconds = args(4).toDouble,
       saltShards = if (args.length > 6) args(6).toInt else 1,
       // selector A/B for scaling experiments (default = the engine default)
-      selector = sys.env.getOrElse("GRAFT_SELECTOR", CrawlConfig().selector))
+      selector = sys.env.getOrElse("GRAFT_SELECTOR", CrawlConfig().selector),
+      // bounded-wave mode for the politeness-regime selection bench: time a
+      // fixed number of waves over a DEEP frontier (budget ≪ pending) rather
+      // than draining it — the per-wave selection cost is the measurand
+      maxWaves = sys.env.get("GRAFT_MAX_WAVES").map(_.toInt)
+        .getOrElse(CrawlConfig().maxWaves))
     // GRAFT_REGIME=sharded forces every beyond-broadcast path at once — the
     // sharded Bloom table, the shuffle-join robots rules, and the shuffled
     // key-set anti-joins — so the bench can record the 10^10-regime

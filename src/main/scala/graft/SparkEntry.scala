@@ -46,6 +46,7 @@ object SparkEntry {
     "q_dedup_exact"      -> ((s, d) => Dedup.dedupExact(s, d)),
     "q_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dup_clusters"     -> ((s, d) => Dedup.dupClusters(s, d)),
+    "q_dup_clusters_lsh" -> ((s, d) => Dedup.dupClustersLsh(s, d)),
     "q_minhash_lsh"      -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_simhash_pairs"    -> ((s, d) => Dedup.simhashPairs(s, d)),
     // similarity search. The headline ANN queries run FULL probe: every

@@ -22,13 +22,23 @@ object EventStreams {
   /** Fixed-window request accounting: requests per (1-minute window, key),
     * late data bounded by a 2-minute watermark. Works identically over a
     * bounded stream (tests drive it with a file source + processAllAvailable).
+    *
+    * `lateness = None` composes this operator downstream of an
+    * already-watermarked stateful stage (e.g. [[dedupStream]]) in ONE
+    * streaming query: Spark disallows redefining the watermark once multiple
+    * stateful operators share a plan, so the window agg inherits the
+    * upstream horizon instead.
     */
-  def fixedWindowCounts(events: DataFrame): DataFrame =
-    events
-      // parquet µs timestamps infer as TIMESTAMP_NTZ in Spark 4; watermarks
-      // require event-time TIMESTAMP (LTZ) — session TZ is pinned UTC
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", "2 minutes")
+  def fixedWindowCounts(events: DataFrame,
+      lateness: Option[String] = Some("2 minutes")): DataFrame =
+    (lateness match {
+      case Some(l) => events
+        // parquet µs timestamps infer as TIMESTAMP_NTZ in Spark 4; watermarks
+        // require event-time TIMESTAMP (LTZ) — session TZ is pinned UTC
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", l)
+      case None => events // upstream already watermarked `ts`
+    })
       .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
       .select(col("w.start").as("minute"), col("event_type"), col("n"), col("value_sum"))

@@ -216,6 +216,75 @@ class OpsSpec extends SparkSpec {
     check(6, Seq((0L, 1L)))
   }
 
+  test("planted mega-component: salted jump join is exact, O(log n) rounds") {
+    // the skew case the 100-TB dedup actually hits: one boilerplate cluster
+    // whose members all converge onto ONE label, concentrating the jump
+    // join's key. A 10^4-node chain is the worst case for both dimensions:
+    // maximal diameter (tests pointer jumping) and a single final label
+    // (tests the salt guard).
+    val n = 10000
+    val nodesDF = spark.range(n.toLong).toDF("id")
+    val edgesDF = spark.range(n - 1L)
+      .select(col("id").as("a_id"), (col("id") + 1L).as("b_id"))
+    val base = Dedup.connectedComponentsStats(nodesDF, edgesDF)
+    val baseMap = base.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(baseMap.size === n)
+    assert(baseMap.values.forall(_ == 0L), "chain must collapse to cluster 0")
+    assert(base.rounds <= 16,
+      s"pointer jumping must converge in ~log2(n) rounds, took ${base.rounds}")
+    // force the guard with a tiny salt threshold: once the mega-label forms,
+    // rounds must run salted AND stay exact
+    val salted = Dedup.connectedComponentsStats(nodesDF, edgesDF,
+      skewSaltRows = 64L, maxSaltShards = 8)
+    assert(salted.saltedRounds > 0, "mega-label must trip the salt guard")
+    val saltedMap = salted.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(saltedMap === baseMap, "salted jump join must be exact")
+  }
+
+  test("connected components: durable checkpoint mode yields identical clusters") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val rnd = new scala.util.Random(13)
+    val edges = (0 until 150).map(_ => (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+    val nodesDF = spark.range(100L).toDF("id")
+    val edgesDF = edges.toDF("a_id", "b_id")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local   = toMap(Dedup.connectedComponents(nodesDF, edgesDF))
+    val durable = toMap(Dedup.connectedComponents(nodesDF, edgesDF,
+      checkpointDir = Some(dir)))
+    assert(durable === local, "reliable-checkpoint mode must not change results")
+    def anyFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)),
+      "reliable checkpoints must actually land under the given dir")
+  }
+
+  test("dupClustersLsh: planted near-dup group becomes one cluster with min-id survivor") {
+    // 12 docs over the same token set (order varies — distinct-token minhash
+    // is set-based, so all four bands collide inside one ≤MaxBucket bucket),
+    // plus distinct-vocabulary singletons
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "theta", "kappa", "lambda", "sigma")
+    val rnd = new scala.util.Random(29)
+    val dups = (0L until 12L).map(i => (i, rnd.shuffle(words).mkString(" ")))
+    val singles = (12L until 20L).map { i =>
+      // tokens are [a-z]+ runs — keep the per-doc vocab purely alphabetic
+      val t = ('a' + (i - 12)).toChar
+      (i, s"zz${t}one zz${t}two zz${t}three zz${t}four zz${t}five")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("lshcc").toString
+    (dups ++ singles).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.dupClustersLsh(spark, tmp, threshold = 0.8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep")))
+    assert(out.length === 20)
+    out.foreach { case (d, c, keep) =>
+      if (d < 12L) assert(c === 0L, s"near-dup doc $d must join cluster 0")
+      else assert(c === d, s"distinct doc $d must stay a singleton")
+      assert(keep === (d == c))
+    }
+  }
+
   test("fingerprint: whitespace-normalized dup detection") {
     val df = Seq((0L, "Hello   World"), (1L, "hello world"), (2L, "other text"))
       .toDF("doc_id", "text")
