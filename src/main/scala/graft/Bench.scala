@@ -74,7 +74,8 @@ object Bench {
     */
   private final case class ChildResult(rate: Double, urls: Long,
       pinned: Boolean, ceil: Option[(Double, Double)],
-      ceilSpark: Option[(Double, Double)])
+      ceilSpark: Option[(Double, Double)],
+      shufRows: Long = -1L, shufMb: Double = -1.0)
 
   /** Measure one "cluster size" in its own CPU-pinned child JVM (see
     * [[BenchCrawlChild]]): `taskset -c 0..cores-1` makes a local[N] run
@@ -132,8 +133,12 @@ object Bench {
             val cp2 = c.split(" ")
             (cp2(1).toDouble, cp2(2).toDouble)
         }
+        def kv(key: String): Option[String] =
+          parts.collectFirst { case t if t.startsWith(s"$key=") => t.drop(key.length + 1) }
         ChildResult(parts(1).toDouble, parts(2).toLong, pinned = true,
-          pair("CEIL "), pair("CEILSPARK "))
+          pair("CEIL "), pair("CEILSPARK "),
+          shufRows = kv("shufrows").map(_.toLong).getOrElse(-1L),
+          shufMb   = kv("shufmb").map(_.toDouble).getOrElse(-1.0))
       }
     } catch { case _: Throwable => None }
 
@@ -349,21 +354,28 @@ object Bench {
     // depth; the agg selector ships bounded per-host buffers and holds. Both
     // selectors share discovery/scan costs, so the comparison is
     // within-depth agg-vs-window and across-depth retention.
-    val selEnv = skipCeil + ("GRAFT_MAX_WAVES" -> "7")
+    // 20 timed waves so the one-time wave-1 discovery amortizes and the
+    // per-wave selection cost (the measurand) dominates the across-depth
+    // delta. Besides wall-clock, each child reports its total SHUFFLED
+    // rows/bytes: on one box shuffles hit the page cache and are nearly
+    // free, so the volume channel — what costs network on a real cluster —
+    // is where the agg selector's O(hosts×budget) bound shows regardless of
+    // window.
+    val selEnv = skipCeil + ("GRAFT_MAX_WAVES" -> "20")
     // GRAFT_BENCH_SELHOSTS shrinks the selection corpus for harness smoke
     // tests (same role as GRAFT_BENCH_UNIS for the scaling corpus)
     val selHosts = sys.env.getOrElse("GRAFT_BENCH_SELHOSTS", "256").toInt
     def selSite(f: Int) = SiteConfig(universities = selHosts, deptsPerU = 1,
       facultyPerDept = f, errorFraction = 0.0, pubsPerFaculty = 2, bioWords = 40)
-    def selRate(selector: String, f: Int): Double =
+    def selRun(selector: String, f: Int): ChildResult =
       crawlRate(n4Cores, selEnv + ("GRAFT_SELECTOR" -> selector),
-        site = selSite(f), waveSeconds = 8.0).rate
+        site = selSite(f), waveSeconds = 8.0)
     // interleave selectors within each depth so each comparison shares its
     // tenancy window
-    val selAggSmall = selRate("agg", 100)
-    val selWinSmall = selRate("window", 100)
-    val selAggDeep  = selRate("agg", 1000)
-    val selWinDeep  = selRate("window", 1000)
+    val selAggSmall = selRun("agg", 100)
+    val selWinSmall = selRun("window", 100)
+    val selAggDeep  = selRun("agg", 1000)
+    val selWinDeep  = selRun("window", 1000)
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -413,14 +425,22 @@ object Bench {
         f""""sharded_pair_valid":$shardedPairOk,""" +
         f""""sharded_retries":$shardedRetries,""" +
         f""""sharded_pinned":${shN.pinned && sh4.pinned && shCtx.pinned},""" +
-        // politeness-real selection regime: URLs/sec over a fixed 7-wave
-        // window at budget 8/host/wave, per-host frontier depth 100 vs 1000
-        f""""selection_bench":{"agg_small":$selAggSmall%.1f,""" +
-        f""""window_small":$selWinSmall%.1f,"agg_deep":$selAggDeep%.1f,""" +
-        f""""window_deep":$selWinDeep%.1f,""" +
-        f""""agg_deep_retention":${selAggDeep / selAggSmall}%.3f,""" +
-        f""""window_deep_retention":${selWinDeep / selWinSmall}%.3f,""" +
-        f""""agg_over_window_deep":${selAggDeep / selWinDeep}%.3f},""" +
+        // politeness-real selection regime: URLs/sec + total shuffled
+        // rows/MB over a fixed 20-wave window at budget 8/host/wave,
+        // per-host frontier depth 100 vs 1000
+        f""""selection_bench":{"agg_small":${selAggSmall.rate}%.1f,""" +
+        f""""window_small":${selWinSmall.rate}%.1f,""" +
+        f""""agg_deep":${selAggDeep.rate}%.1f,""" +
+        f""""window_deep":${selWinDeep.rate}%.1f,""" +
+        f""""agg_deep_retention":${selAggDeep.rate / selAggSmall.rate}%.3f,""" +
+        f""""window_deep_retention":${selWinDeep.rate / selWinSmall.rate}%.3f,""" +
+        f""""agg_over_window_deep":${selAggDeep.rate / selWinDeep.rate}%.3f,""" +
+        f""""agg_small_shuffle_rows":${selAggSmall.shufRows},""" +
+        f""""window_small_shuffle_rows":${selWinSmall.shufRows},""" +
+        f""""agg_deep_shuffle_rows":${selAggDeep.shufRows},""" +
+        f""""window_deep_shuffle_rows":${selWinDeep.shufRows},""" +
+        f""""agg_deep_shuffle_mb":${selAggDeep.shufMb}%.1f,""" +
+        f""""window_deep_shuffle_mb":${selWinDeep.shufMb}%.1f},""" +
         f""""n_cores":$nCores,"4n_cores":$n4Cores,"pinned":$pinned}}""")
   }
 }

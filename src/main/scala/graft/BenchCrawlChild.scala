@@ -94,26 +94,36 @@ object BenchCrawlChild {
     // from "tasks inflate under concurrency" when diagnosing scaling
     val taskTime = new java.util.concurrent.atomic.AtomicLong(0)
     val gcTime   = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufByte = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (e.taskMetrics != null) {
           taskTime.addAndGet(e.taskMetrics.executorRunTime)
-          gcTime.addAndGet(e.taskMetrics.jvmGCTime); ()
+          gcTime.addAndGet(e.taskMetrics.jvmGCTime)
+          shufRows.addAndGet(e.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          shufByte.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten); ()
         }
     })
     val best = (1 to runs).map { _ =>
       System.gc()
-      taskTime.set(0); gcTime.set(0)
+      taskTime.set(0); gcTime.set(0); shufRows.set(0); shufByte.set(0)
       val t0   = System.nanoTime()
       val r    = WaveRunner.run(spark, seeds, fetcher, Nil, crawl)
       val wall = (System.nanoTime() - t0) / 1e9
       val rate = (r.fetches / wall, r.fetches,
         taskTime.get() / 1000.0 / (wall * cores),
-        gcTime.get() / 1000.0 / (wall * cores))
+        gcTime.get() / 1000.0 / (wall * cores),
+        shufRows.get(), shufByte.get())
       r.release() // cached blocks from one run must not pressure the next
       rate
     }.maxBy(_._1)
-    println(f"RATE ${best._1}%.2f ${best._2} busy=${best._3}%.2f gc=${best._4}%.2f")
+    // shuffle volume of the best run rides along: the selection-regime bench
+    // compares selectors by shuffled rows/bytes as well as wall-clock (local
+    // shuffles hit the page cache, so volume — the quantity that costs
+    // network on a real cluster — needs its own channel)
+    println(f"RATE ${best._1}%.2f ${best._2} busy=${best._3}%.2f gc=${best._4}%.2f " +
+      f"shufrows=${best._5} shufmb=${best._6 / 1e6}%.1f")
     // workload-matched scaling ceiling (only meaningful in the wide child):
     // the per-page fetch work itself (HTML render + parse, zero Spark) run on
     // plain threads at 2 vs `cores` under the same pinning. On one box this
