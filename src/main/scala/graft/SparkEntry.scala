@@ -1,7 +1,7 @@
 package graft
 
 import graft.crawl.CrawlQueries
-import graft.ops.{Ann, Dedup, Multimodal, TextOps}
+import graft.ops.{Ann, Dedup, Multimodal, Prep, TextOps}
 import graft.relational.StarQueries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -42,6 +42,10 @@ object SparkEntry {
     "q_tfidf_cosine"     -> ((s, d) => TextOps.tfidfCosine(s, d)),
     "q_text_search"      -> ((s, d) => relational.InvertedIndex.textSearch(s, d)),
     "q_corpus_prep"      -> ((s, d) => TextOps.corpusPrep(s, d)),
+    // training-data preparation (redaction / mix sampling / packing)
+    "q_redact_pii"       -> ((s, d) => Prep.redactPii(s, d)),
+    "q_sample_stratified" -> ((s, d) => Prep.sampleStratified(s, d)),
+    "q_pack_sequences"   -> ((s, d) => Prep.packSequences(s, d)),
     // dedup family
     "q_dedup_exact"      -> ((s, d) => Dedup.dedupExact(s, d)),
     "q_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -100,6 +104,9 @@ object SparkEntry {
     "q_tfidf_cosine"     -> TextOps.tfidfCosineSql,
     "q_text_search"      -> relational.InvertedIndex.textSearchSql,
     "q_corpus_prep"      -> TextOps.corpusPrepSql,
+    "q_redact_pii"       -> Prep.redactPiiSql,
+    "q_sample_stratified" -> Prep.sampleStratifiedSql,
+    "q_pack_sequences"   -> Prep.packSequencesSql(),
     "q_dedup_exact"      -> Dedup.dedupExactSql,
     "q_ngram_jaccard"    -> Dedup.ngramJaccardSql,
     "q_dup_clusters"     -> Dedup.dupClustersSql,
