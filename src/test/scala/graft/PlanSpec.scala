@@ -105,6 +105,30 @@ class PlanSpec extends SparkSpec {
       s"IVF probe must carry a partition filter on cell:\n$pIvf")
   }
 
+  test("prep operators: pruned scans, broadcast offsets, partitioned window") {
+    // redact/sample are row-local single scans: no Exchange anywhere, and
+    // the scan reads only the columns the query needs
+    // (the sub-split sf0.001 file legitimately triggers parallelized()'s
+    // round-robin spread — a no-op at scale — so only KEYED shuffles are
+    // banned here)
+    val pr = plan(SparkEntry.queries("q_redact_pii")(spark, sf))
+    assert(!pr.contains("hashpartitioning"), "redaction must have no keyed shuffle")
+    val prRead = pr.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!prRead.contains("lang"), s"redaction scan reads too much: $prRead")
+    val ps = plan(SparkEntry.queries("q_sample_stratified")(spark, sf))
+    assert(!ps.contains("Exchange"), "sampling must be shuffle-free")
+    val psRead = ps.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!psRead.contains("text"), s"sampling scan reads too much: $psRead")
+    // packing: the global running sum must be a bucket-PARTITIONED window
+    // with the per-bucket offsets broadcast back — one narrow shuffle on
+    // the bucket key, never an all-rows-to-one-task window sort
+    val pp = plan(SparkEntry.queries("q_pack_sequences")(spark, sf))
+    assert(pp.contains("BroadcastHashJoin"), "bucket offsets must broadcast")
+    assert(pp.contains("Window"), pp)
+    val winParts = pp.linesIterator.filter(_.contains("partitionBy")).toSeq
+    assert(winParts.isEmpty || winParts.forall(_.contains("__b")), pp)
+  }
+
   test("source gate: no unpartitioned windows in main (single-task funnels)") {
     // Window.orderBy without partitionBy moves EVERY row through one task —
     // the crawl-order seq regression the verdict flagged. Gate the whole main
