@@ -117,7 +117,8 @@ object Prep {
     import org.apache.spark.sql.expressions.Window
     val d = TextOps.parallelized(docs(spark, dir))
       .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    val maxRow = d.agg(max(col("doc_id"))).head()
+    val maxId  = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0) // empty table → empty result
     val span  = math.max(1L, (maxId + buckets) / buckets) // ceil((max+1)/buckets)
     val withB = d.withColumn("__b", (col("doc_id") / span).cast("int"))
     val bucketSums = withB.groupBy(col("__b")).agg(sum(col("n_tokens")).as("s"))

@@ -82,4 +82,10 @@ class PrepSpec extends SparkSpec {
     // the 300-token doc straddles at least one boundary
     assert(got(7L)._3 > got(7L)._2)
   }
+
+  test("packSequences: empty table yields an empty result, not a crash") {
+    val tmp = java.nio.file.Files.createTempDirectory("prep_pack_empty").toString
+    write(tmp, Seq.empty)
+    assert(Prep.packSequences(spark, tmp).count() === 0L)
+  }
 }
