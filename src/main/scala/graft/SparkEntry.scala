@@ -42,10 +42,14 @@ object SparkEntry {
     "q_tfidf_cosine"     -> ((s, d) => TextOps.tfidfCosine(s, d)),
     "q_text_search"      -> ((s, d) => relational.InvertedIndex.textSearch(s, d)),
     "q_corpus_prep"      -> ((s, d) => TextOps.corpusPrep(s, d)),
-    // training-data preparation (redaction / mix sampling / packing)
+    // training-data preparation (redaction / mix sampling / packing /
+    // repetition filters / decontamination / domain-mix quotas)
     "q_redact_pii"       -> ((s, d) => Prep.redactPii(s, d)),
     "q_sample_stratified" -> ((s, d) => Prep.sampleStratified(s, d)),
     "q_pack_sequences"   -> ((s, d) => Prep.packSequences(s, d)),
+    "q_repetition_stats" -> ((s, d) => Prep.repetitionStats(s, d)),
+    "q_decontaminate"    -> ((s, d) => Prep.decontaminate(s, d)),
+    "q_domain_mix"       -> ((s, d) => Prep.domainMixCap(s, d)),
     // dedup family
     "q_dedup_exact"      -> ((s, d) => Dedup.dedupExact(s, d)),
     "q_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -107,6 +111,9 @@ object SparkEntry {
     "q_redact_pii"       -> Prep.redactPiiSql,
     "q_sample_stratified" -> Prep.sampleStratifiedSql,
     "q_pack_sequences"   -> Prep.packSequencesSql(),
+    "q_repetition_stats" -> Prep.repetitionStatsSql,
+    "q_decontaminate"    -> Prep.decontaminateSql(),
+    "q_domain_mix"       -> Prep.domainMixCapSql,
     "q_dedup_exact"      -> Dedup.dedupExactSql,
     "q_ngram_jaccard"    -> Dedup.ngramJaccardSql,
     "q_dup_clusters"     -> Dedup.dupClustersSql,

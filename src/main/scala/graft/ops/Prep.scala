@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data PREPARATION operators over `documents` — the steps a corpus
@@ -149,4 +149,175 @@ object Prep {
        |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+')))
        |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
        |  FROM documents) c""".stripMargin
+
+  // ---- shared n-gram plumbing (repetition stats + decontamination) ----
+
+  /** Row-local token k-grams joined with single spaces. `sequence(1, 0)` in
+    * Spark counts DOWN (step −1), so short docs must short-circuit to an
+    * empty array explicitly.
+    */
+  private def gramArr(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - lit(k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB mirror of [[gramArr]] exploded to one row per gram position:
+    * 1-based list slicing, `generate_series(1, 0)` is empty (unlike Spark).
+    */
+  private def gramRowsSql(k: Int): String = {
+    val joined = (0 until k).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    s"""SELECT doc_id, $joined AS g
+       |FROM tok, unnest(CASE WHEN len(toks) >= $k
+       |  THEN generate_series(1, len(toks) - ${k - 1}) ELSE [] END) AS t(i)"""
+      .stripMargin
+  }
+
+  // ---- repetition stats (Gopher-style repetition filters) ----
+
+  /** Per-document repetition signals in integer basis points (the quality-
+    * filter family of Rae et al.'s Gopher corpus rules): duplicate-token
+    * fraction, the most frequent bigram's share of all bigrams, and the
+    * share of trigram occurrences whose trigram repeats. Integer `DIV`
+    * arithmetic end-to-end so the DuckDB oracle hashes exactly.
+    *
+    * Scale shape: ONE corpus scan. Token/distinct counts are row-local; the
+    * bigram and trigram multiplicity profiles ride a single tagged explode
+    * through two partial-aggregating shuffles (gram-keyed count, then
+    * doc-keyed fold). A zero-width sentinel element per doc keeps empty and
+    * one-token documents in the output without a join back to the base.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextOps.parallelized(docs(spark, dir))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n"),
+        size(array_distinct(col("toks"))).cast("long").as("nd"),
+        explode(concat(
+          array(struct(lit(0).as("k"), lit("").as("g"))), // per-doc sentinel
+          transform(gramArr(col("toks"), 2),
+            g => struct(lit(2).as("k"), g.as("g"))),
+          transform(gramArr(col("toks"), 3),
+            g => struct(lit(3).as("k"), g.as("g"))))).as("e"))
+    d.groupBy(col("doc_id"), col("e.k").as("k"), col("e.g").as("g"))
+      .agg(count(lit(1)).as("c"), first(col("n")).as("n"), first(col("nd")).as("nd"))
+      .groupBy(col("doc_id"))
+      .agg(
+        first(col("n")).as("n"), first(col("nd")).as("nd"),
+        max(when(col("k") === 2, col("c"))).as("bmx"),
+        sum(when(col("k") === 2, col("c"))).as("btot"),
+        sum(when(col("k") === 3 && col("c") >= 2, col("c"))).as("tdup"),
+        sum(when(col("k") === 3, col("c"))).as("ttot"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        expr("CAST(CASE WHEN n > 0 THEN ((n - nd) * 10000) DIV n ELSE 0 END AS BIGINT)")
+          .as("dup_token_bp"),
+        expr("CAST(coalesce((bmx * 10000) DIV btot, 0) AS BIGINT)").as("top_bigram_bp"),
+        expr("CAST(coalesce((tdup * 10000) DIV ttot, 0) AS BIGINT)").as("dup_trigram_bp"))
+  }
+
+  val repetitionStatsSql: String =
+    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+       |            FROM documents),
+       |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) n,
+       |                CAST(len(list_distinct(toks)) AS BIGINT) nd FROM tok),
+       |bagg AS (SELECT doc_id, max(c) mx, sum(c) tot,
+       |                sum(CASE WHEN c >= 2 THEN c ELSE 0 END) dup
+       |         FROM (SELECT doc_id, g, count(*) c FROM (${gramRowsSql(2)})
+       |               GROUP BY 1, 2) GROUP BY 1),
+       |tagg AS (SELECT doc_id, max(c) mx, sum(c) tot,
+       |                sum(CASE WHEN c >= 2 THEN c ELSE 0 END) dup
+       |         FROM (SELECT doc_id, g, count(*) c FROM (${gramRowsSql(3)})
+       |               GROUP BY 1, 2) GROUP BY 1)
+       |SELECT b.doc_id AS doc_id, b.n AS n_tokens,
+       |  CAST(CASE WHEN b.n > 0 THEN ((b.n - b.nd) * 10000) // b.n ELSE 0 END
+       |       AS BIGINT) AS dup_token_bp,
+       |  CAST(COALESCE((ba.mx * 10000) // ba.tot, 0) AS BIGINT) AS top_bigram_bp,
+       |  CAST(COALESCE((ta.dup * 10000) // ta.tot, 0) AS BIGINT) AS dup_trigram_bp
+       |FROM base b LEFT JOIN bagg ba ON b.doc_id = ba.doc_id
+       |            LEFT JOIN tagg ta ON b.doc_id = ta.doc_id""".stripMargin
+
+  // ---- decontamination (eval-set n-gram overlap) ----
+
+  /** Flag training documents sharing token n-grams with a held-out eval
+    * split (test-set decontamination). The eval split is derived
+    * deterministically here (`doc_id % evalMod == 0`) so the oracle can
+    * reproduce it; a production pipeline passes its benchmark table instead.
+    * Default n=3 gives measurable overlap on the synthetic corpus — real
+    * decontamination runs 8-13-gram windows, which is only a parameter.
+    *
+    * Scale shape: per-doc DISTINCT grams are computed row-local
+    * (`array_distinct` before the explode — no dedup shuffle), the projected
+    * gram table is persisted so the corpus is scanned once across the eval
+    * and train branches, and the eval side is BROADCAST: benchmark suites
+    * are tiny next to a 100-TB corpus, so contamination marking is a
+    * map-side join; the only shuffle is the final doc-keyed count.
+    */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 3,
+      evalMod: Long = 13L): DataFrame = {
+    val grams = TextOps.parallelized(docs(spark, dir))
+      .select(col("doc_id"), array_distinct(gramArr(TextOps.tokens(col("text")), n)).as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        explode(col("gs")).as("g"))
+      .persist()
+    val ev = grams.filter(col("doc_id") % evalMod === 0)
+      .select(col("g")).distinct().withColumn("__hit", lit(1L))
+    grams.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(ev), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_grams")).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        expr("CAST((n_hits * 10000) DIV n_grams AS BIGINT)").as("contaminated_bp"))
+  }
+
+  def decontaminateSql(n: Int = 3, evalMod: Long = 13L): String =
+    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+       |            FROM documents),
+       |grams AS (SELECT DISTINCT doc_id, g FROM (${gramRowsSql(n)})),
+       |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % $evalMod = 0),
+       |tr AS (SELECT doc_id, g FROM grams WHERE doc_id % $evalMod <> 0),
+       |hits AS (SELECT t.doc_id AS doc_id, count(*) nh
+       |         FROM tr t JOIN ev e USING (g) GROUP BY 1),
+       |tot AS (SELECT doc_id, count(*) ng FROM tr GROUP BY 1)
+       |SELECT t.doc_id AS doc_id, CAST(t.ng AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hits,
+       |  CAST((COALESCE(h.nh, 0) * 10000) // t.ng AS BIGINT) AS contaminated_bp
+       |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin
+
+  // ---- domain-mix quota capping ----
+
+  /** Per-source document quotas (a training mix's per-domain caps),
+    * complementing [[sampleStratified]]'s rate-based thinning: each source
+    * keeps its first `quota` documents in a deterministic shuffled order
+    * (md5 of the doc id, doc_id tiebreak — reproducible engine-to-engine,
+    * no RNG state). The window is PARTITIONED by source, so at corpus scale
+    * each domain ranks locally after one hash shuffle; no global sort.
+    */
+  val MixQuotas: Map[String, Long] = Map("src0" -> 5L, "src1" -> 40L)
+  val MixDefaultQuota: Long = 12L
+
+  def domainMixCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val quota = MixQuotas.toSeq.sortBy(_._1)
+      .foldRight(lit(MixDefaultQuota): Column) { case ((s, q), els) =>
+        when(col("source") === s, lit(q)).otherwise(els)
+      }
+    TextOps.parallelized(docs(spark, dir))
+      .select(col("doc_id"), col("source"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= quota)
+  }
+
+  val domainMixCapSql: String = {
+    val cases = MixQuotas.toSeq.sortBy(_._1)
+      .map { case (s, q) => s"WHEN source = '$s' THEN $q" }.mkString(" ")
+    s"""SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT doc_id, source, row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM documents) r
+       |WHERE rn <= (CASE $cases ELSE $MixDefaultQuota END)""".stripMargin
+  }
 }

@@ -129,6 +129,35 @@ class PlanSpec extends SparkSpec {
     assert(winParts.isEmpty || winParts.forall(_.contains("__b")), pp)
   }
 
+  test("repetition/decontamination/domain-mix: single scan, broadcast eval, partitioned quota window") {
+    // repetition: ONE documents scan (token stats row-local, both gram
+    // profiles ride a single tagged explode), partial+final aggregation
+    val rp = plan(SparkEntry.queries("q_repetition_stats")(spark, sf))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(rp).size === 1,
+      s"repetition stats must scan the corpus once:\n$rp")
+    assert("HashAggregate".r.findAllIn(rp).size >= 2, "expect partial+final agg")
+    val rpRead = rp.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!rpRead.contains("lang") && !rpRead.contains("source"),
+      s"repetition scan reads too much: $rpRead")
+    // decontamination: eval grams must BROADCAST (benchmark sets are tiny
+    // next to the corpus) and the shared gram projection must be persisted
+    // so the corpus is scanned once across the eval/train branches
+    val pd = SparkEntry.queries("q_decontaminate")(spark, sf)
+    val dp = plan(pd)
+    assert(dp.contains("BroadcastHashJoin"), "eval gram set must broadcast")
+    assert(dp.contains("InMemoryTableScan") || dp.contains("InMemoryRelation"),
+      s"gram projection must be persisted (single corpus scan):\n$dp")
+    spark.catalog.clearCache()
+    // domain mix: the quota rank must be a source-PARTITIONED window (local
+    // per-domain rank after one hash shuffle, never a global sort)
+    val dm = plan(SparkEntry.queries("q_domain_mix")(spark, sf))
+    assert(dm.contains("Window"), dm)
+    val dmParts = dm.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(dmParts.nonEmpty && dmParts.forall(_.contains("source")), dm)
+    val dmRead = dm.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!dmRead.contains("text"), s"domain-mix scan reads too much: $dmRead")
+  }
+
   test("source gate: no unpartitioned windows in main (single-task funnels)") {
     // Window.orderBy without partitionBy moves EVERY row through one task —
     // the crawl-order seq regression the verdict flagged. Gate the whole main

@@ -88,4 +88,69 @@ class PrepSpec extends SparkSpec {
     write(tmp, Seq.empty)
     assert(Prep.packSequences(spark, tmp).count() === 0L)
   }
+
+  test("repetitionStats: hand-computed bps incl. empty, single-token, periodic docs") {
+    val tmp = java.nio.file.Files.createTempDirectory("prep_rep").toString
+    write(tmp, Seq(
+      (0L, "a a a a", "en"),   // all-dup; bigram "a a"×3; trigram "a a a"×2
+      (1L, "a b c d", "en"),   // no dups anywhere
+      (2L, "", "en"),          // zero tokens
+      (3L, "solo", "en"),      // one token — no grams at all
+      (4L, "x y x y x", "en"))) // period-2 repetition
+    val got = Prep.repetitionStats(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_token_bp"),
+          r.getAs[Long]("top_bigram_bp"), r.getAs[Long]("dup_trigram_bp"))).toMap
+    assert(got.size === 5, "every document must appear, gramless ones included")
+    assert(got(0L) === ((4L, 7500L, 10000L, 10000L)))
+    assert(got(1L) === ((4L, 0L, 3333L, 0L)))      // 1 of 3 bigrams
+    assert(got(2L) === ((0L, 0L, 0L, 0L)))
+    assert(got(3L) === ((1L, 0L, 0L, 0L)))
+    // n=5 nd=2 → 6000; bigrams xy,yx,xy,yx → max 2 of 4 → 5000;
+    // trigrams xyx,yxy,xyx → 2 dup occurrences of 3 → 6666
+    assert(got(4L) === ((5L, 6000L, 5000L, 6666L)))
+  }
+
+  test("decontaminate: planted eval-overlap grams are counted per train doc") {
+    val tmp = java.nio.file.Files.createTempDirectory("prep_decon").toString
+    write(tmp, Seq(
+      (0L, "p q r s", "en"),    // eval split (0 % 13 == 0)
+      (1L, "p q r zz", "en"),   // shares trigram "p q r" → 1 of 2
+      (2L, "m n o", "en"),      // clean
+      (3L, "hi", "en"),         // too short for a trigram → absent
+      (4L, "q r s q r s q", "en"))) // shares "q r s" and "r s q"? r s q not in eval
+    val got = Prep.decontaminate(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("contaminated_bp"))).toMap
+    assert(!got.contains(0L), "eval docs are not in the train output")
+    assert(!got.contains(3L), "gramless docs have no gram rows")
+    assert(got(1L) === ((2L, 1L, 5000L)))
+    assert(got(2L) === ((1L, 0L, 0L)))
+    // doc 4 distinct trigrams: "q r s","r s q","s q r" — eval has "q r s"
+    // and "r s q"? eval grams of "p q r s": "p q r","q r s" → only "q r s"
+    assert(got(4L) === ((3L, 1L, 3333L)))
+  }
+
+  test("domainMixCap: per-source quotas bind, ordering is the md5 shuffle") {
+    val tmp = java.nio.file.Files.createTempDirectory("prep_mix").toString
+    val rows = (0L until 10L).map(i => (i, s"d $i", "en", "src0")) ++
+      (10L until 13L).map(i => (i, s"d $i", "en", "src1")) ++
+      (13L until 33L).map(i => (i, s"d $i", "en", "other"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Prep.domainMixCap(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("rn")))
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc === Map("src0" -> 5, "src1" -> 3, "other" -> 12))
+    // the kept set per source is exactly the first-k of the md5(doc_id) order
+    val expected = rows.groupBy(_._4).flatMap { case (src, rs) =>
+      val quota = Prep.MixQuotas.getOrElse(src, Prep.MixDefaultQuota).toInt
+      rs.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(quota)
+    }.toSet
+    assert(got.map(_._1).toSet === expected)
+    got.foreach { case (_, src, rn) =>
+      assert(rn <= Prep.MixQuotas.getOrElse(src, Prep.MixDefaultQuota))
+    }
+  }
 }
