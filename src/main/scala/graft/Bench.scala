@@ -388,10 +388,14 @@ object Bench {
       crawlRate(n4Cores, selEnv + ("GRAFT_SELECTOR" -> selector),
         site = selSite(f), waveSeconds = 8.0)
     // interleave selectors within each depth so each comparison shares its
-    // tenancy window
+    // tenancy window; "native" is the TypedImperativeAggregate rebuild of the
+    // agg selector (same O(hosts×budget) shuffle bound, per-row decode cost
+    // removed — see [[graft.frontier.TopKSelectNative]])
     val selAggSmall = selRun("agg", 100)
+    val selNatSmall = selRun("native", 100)
     val selWinSmall = selRun("window", 100)
     val selAggDeep  = selRun("agg", 1000)
+    val selNatDeep  = selRun("native", 1000)
     val selWinDeep  = selRun("window", 1000)
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
@@ -448,17 +452,23 @@ object Bench {
         // rows/MB over a fixed 20-wave window at budget 8/host/wave,
         // per-host frontier depth 100 vs 1000
         f""""selection_bench":{"agg_small":${selAggSmall.rate}%.1f,""" +
+        f""""native_small":${selNatSmall.rate}%.1f,""" +
         f""""window_small":${selWinSmall.rate}%.1f,""" +
         f""""agg_deep":${selAggDeep.rate}%.1f,""" +
+        f""""native_deep":${selNatDeep.rate}%.1f,""" +
         f""""window_deep":${selWinDeep.rate}%.1f,""" +
         f""""agg_deep_retention":${selAggDeep.rate / selAggSmall.rate}%.3f,""" +
+        f""""native_deep_retention":${selNatDeep.rate / selNatSmall.rate}%.3f,""" +
         f""""window_deep_retention":${selWinDeep.rate / selWinSmall.rate}%.3f,""" +
         f""""agg_over_window_deep":${selAggDeep.rate / selWinDeep.rate}%.3f,""" +
+        f""""native_over_agg_deep":${selNatDeep.rate / selAggDeep.rate}%.3f,""" +
         f""""agg_small_shuffle_rows":${selAggSmall.shufRows},""" +
         f""""window_small_shuffle_rows":${selWinSmall.shufRows},""" +
         f""""agg_deep_shuffle_rows":${selAggDeep.shufRows},""" +
+        f""""native_deep_shuffle_rows":${selNatDeep.shufRows},""" +
         f""""window_deep_shuffle_rows":${selWinDeep.shufRows},""" +
         f""""agg_deep_shuffle_mb":${selAggDeep.shufMb}%.1f,""" +
+        f""""native_deep_shuffle_mb":${selNatDeep.shufMb}%.1f,""" +
         f""""window_deep_shuffle_mb":${selWinDeep.shufMb}%.1f},""" +
         f""""n_cores":$nCores,"4n_cores":$n4Cores,"pinned":$pinned}}""")
   }

@@ -43,7 +43,10 @@ object CrawlDemo {
 
     val seeds   = SyntheticSite.seeds(site)
     val fetcher = SyntheticSite.fetcher(site)
-    val cfg     = CrawlConfig(waveSeconds = waveSeconds, snapshotDir = snapshotDir)
+    // same selector env contract as BenchCrawlChild, so each batch-selector
+    // variant can be driven end-to-end against the crawl oracle
+    val cfg     = CrawlConfig(waveSeconds = waveSeconds, snapshotDir = snapshotDir,
+      selector = sys.env.getOrElse("GRAFT_SELECTOR", CrawlConfig().selector))
 
     val t0 = System.nanoTime()
     val result = snapshotDir match {

@@ -77,7 +77,10 @@ object WaveRunner {
       waveSeconds: Double = 1.0,    // × 1/crawl_delay = per-host budget (scraper.py:83)
       saltShards: Int = 1,          // skew pre-prune shards for the "window" selector
       /** Batch selector: "agg" (default — partial-aggregating exact top-k,
-        * shuffles O(hosts×budget) heap buffers) or "window" (the two-stage
+        * shuffles O(hosts×budget) heap buffers), "native" (same shape as a
+        * native Catalyst TypedImperativeAggregate — no per-row case-class
+        * decode, zero-allocation reject path; see
+        * [[graft.frontier.TopKSelectNative]]), or "window" (the two-stage
         * salted window — exact-equal, shuffles O(pending) rows per wave;
         * kept for plan comparison and property cross-checks).
         */
@@ -522,6 +525,8 @@ object WaveRunner {
             .select(col("url"), col("urlHash"), col("host"), col("depth"),
               col("priority"), col("retries"), col("discoveredWave"),
               col("discoveredRank"), col("parentUrl"), col("host_rank"))
+        else if (cfg.selector == "native")
+          graft.frontier.TopKSelectNative.select(ruled)
         else WaveSelector.selectAgg(ruled)
       // Size fetch parallelism by request count, NOT by shuffle bytes: the
       // selection output is tiny (batch rows), so AQE would coalesce it to

@@ -100,6 +100,11 @@ class FrontierSpec extends SparkSpec {
         .select("host", "host_rank", "urlHash")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
       assert(agg === expected, "partial-agg top-k selection must be exact")
+      // the native TypedImperativeAggregate selector must be exact-equal too
+      val nat = graft.frontier.TopKSelectNative.select(df)
+        .select("host", "host_rank", "urlHash")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(nat === expected, "native top-k selection must be exact")
     }
   }
 
@@ -123,6 +128,13 @@ class FrontierSpec extends SparkSpec {
     val c = sel(df(_.repartition(3, col("priority"))))
     assert(a === b)
     assert(a === c)
+    // native selector: same invariance, same result set
+    def selN(d: org.apache.spark.sql.DataFrame) =
+      graft.frontier.TopKSelectNative.select(d)
+        .select("host", "host_rank", "urlHash")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(selN(df(identity)) === a)
+    assert(selN(df(_.orderBy(col("urlHash").desc).repartition(7))) === a)
   }
 
   test("TopKBuf heap: random insert/merge sequences equal sorted top-k (unit property)") {
@@ -146,6 +158,42 @@ class FrontierSpec extends SparkSpec {
       val merged = bufs.reduce { (a, b) => new WaveSelector.TopKSelectAgg().merge(a, b) }
       val got = new WaveSelector.TopKSelectAgg().finish(merged).toSeq
       val want = all.sorted(WaveSelector.SelOrd).take(9)
+      assert(got === want, s"n=$n")
+    }
+  }
+
+  test("native buffer: split + serialize round-trip + merge equals sorted top-k") {
+    // the native TypedImperativeAggregate's partial-aggregation invariant:
+    // any split of a candidate stream into partial buffers, each pushed
+    // through the shuffle byte format, merged in any order, must finish as
+    // the SelOrd-sorted top-k — mirror of the TopKBuf unit property
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.frontier.TopKSelectNative(Literal("u"), Literal(0L),
+      Literal("h"), Literal(1), Literal(1.0), Literal(0), Literal(0),
+      Literal(0L), Literal(""), Literal(9L))
+    def cand(id: Long) = new graft.frontier.NativeCand(
+      UTF8String.fromString(s"u$id"), id, UTF8String.fromString("h"), 1,
+      (id % 17).toDouble, 0, 0, id, UTF8String.fromString(""))
+    val rnd = new scala.util.Random(23)
+    (1 to 20).foreach { _ =>
+      val n = 1 + rnd.nextInt(60)
+      val ids = rnd.shuffle((0L until 200L).toList).take(n)
+      val bufs = ids.grouped(1 + rnd.nextInt(4)).toList.map { p =>
+        val b = expr.createAggregationBuffer()
+        b.k = 9L
+        p.foreach(id => b.insert(cand(id)))
+        expr.deserialize(expr.serialize(b)) // through the shuffle format
+      }
+      val merged = bufs.reduce(expr.merge)
+      val got = expr.eval(merged)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.map(_.asInstanceOf[InternalRow])
+        .map(r => (r.getUTF8String(0).toString, r.getLong(1), r.getDouble(4)))
+        .toSeq
+      val want = ids.sortBy(id => (-(id % 17).toDouble, id)).take(9)
+        .map(id => (s"u$id", id, (id % 17).toDouble))
       assert(got === want, s"n=$n")
     }
   }
@@ -180,6 +228,11 @@ class FrontierSpec extends SparkSpec {
     def chain(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
     assert(chain(exJob).exists(m => m != null && m.contains("constant per-host budget")))
+    // the native selector enforces the same contract
+    val exNat = intercept[Exception] {
+      graft.frontier.TopKSelectNative.select(df).collect()
+    }
+    assert(chain(exNat).exists(m => m != null && m.contains("constant per-host budget")))
   }
 
   test("per-host per-wave budget is never exceeded (politeness invariant)") {
