@@ -77,6 +77,7 @@ object SparkEntry {
     // crawl operators (SURVEY §2.8)
     "q_url_canonicalize" -> ((s, d) => CrawlQueries.urlCanonicalize(s, d)),
     "q_frontier_select"  -> ((s, d) => CrawlQueries.frontierSelect(s, d)),
+    "q_frontier_select_native" -> ((s, d) => CrawlQueries.frontierSelectNative(s, d)),
     "q_bloom_antijoin"   -> ((s, d) => CrawlQueries.bloomAntijoin(s, d)),
     "q_crawl_synthetic"  -> ((s, d) => CrawlQueries.crawlSynthetic(s, d)),
     "q_match_synthetic"  -> ((s, d) => CrawlQueries.matchSynthetic(s, d))
@@ -126,6 +127,7 @@ object SparkEntry {
     "q_media_frames"     -> Multimodal.frameSampleSql,
     "q_url_canonicalize" -> CrawlQueries.urlCanonicalizeSql,
     "q_frontier_select"  -> CrawlQueries.frontierSelectSql,
+    "q_frontier_select_native" -> CrawlQueries.frontierSelectSql,
     "q_bloom_antijoin"   -> CrawlQueries.bloomAntijoinSql
   )
 }

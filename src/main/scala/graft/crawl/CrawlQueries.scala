@@ -64,6 +64,29 @@ object CrawlQueries {
       |  FROM orders) x
       |WHERE rk <= 3""".stripMargin
 
+  /** The same wave-batch selection through the native Catalyst
+    * [[graft.frontier.TopKSelectNative]] aggregate (the engine's third
+    * selector variant) against the SAME ranked-window oracle — the driver's
+    * DuckDB gate then covers every batch-selector implementation, not just
+    * the salted-window path.
+    */
+  def frontierSelectNative(spark: SparkSession, dir: String): DataFrame = {
+    val frontier = orders(spark, dir).select(
+      concat(lit("https://h"), pmod(col("o_custkey"), lit(50)),
+        lit(".com/o/"), col("o_orderkey")).as("url"),
+      col("o_orderkey").as("urlHash"),
+      concat(lit("h"), pmod(col("o_custkey"), lit(50))).as("host"),
+      lit(1).as("depth"),
+      col("o_totalprice").as("priority"),
+      lit(0).as("retries"),
+      lit(0).as("discoveredWave"),
+      col("o_orderkey").as("discoveredRank"),
+      lit("").as("parentUrl"),
+      lit(3L).as("budget"))
+    graft.frontier.TopKSelectNative.select(frontier)
+      .select(col("host"), col("host_rank"), col("url"))
+  }
+
   /** URL-seen filter (G4): seen = even order keys, candidates = all keys; the
     * shard-local Bloom fast path + exact anti-join must return exactly the
     * odd keys (Bloom false positives rescued by the join — exactness is the

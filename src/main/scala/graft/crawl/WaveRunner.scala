@@ -76,15 +76,17 @@ object WaveRunner {
       maxRetries: Int = 0,          // reference fetches once, no retry (scraper.py:160-162)
       waveSeconds: Double = 1.0,    // × 1/crawl_delay = per-host budget (scraper.py:83)
       saltShards: Int = 1,          // skew pre-prune shards for the "window" selector
-      /** Batch selector: "agg" (default — partial-aggregating exact top-k,
-        * shuffles O(hosts×budget) heap buffers), "native" (same shape as a
-        * native Catalyst TypedImperativeAggregate — no per-row case-class
-        * decode, zero-allocation reject path; see
-        * [[graft.frontier.TopKSelectNative]]), or "window" (the two-stage
+      /** Batch selector: "native" (default — exact per-host top-k as a
+        * Catalyst TypedImperativeAggregate: O(hosts×budget) heap buffers on
+        * the shuffle, no per-row case-class decode, zero-allocation reject
+        * path; see [[graft.frontier.TopKSelectNative]]), "agg" (the same
+        * partial-aggregation shape as an Aggregator UDAF — kept for
+        * cross-checks; measured ~14% slower wall-clock and +20% selection
+        * shuffle bytes, BENCH.md round-5), or "window" (the two-stage
         * salted window — exact-equal, shuffles O(pending) rows per wave;
         * kept for plan comparison and property cross-checks).
         */
-      selector: String = "agg",
+      selector: String = "native",
       bloomShards: Int = 32,
       bloomExpected: Long = 1L << 20,
       bloomFpp: Double = 0.01,

@@ -94,13 +94,14 @@ class FrontierSpec extends SparkSpec {
       assert(sel(1) === expected)
       assert(sel(4) === expected, "salted two-stage selection must be exact")
       assert(sel(16) === expected)
-      // the partial-aggregating selector (the crawl-engine default) must be
-      // exact-equal to the window selector on the same input
+      // the partial-aggregating selector must be exact-equal to the window
+      // selector on the same input
       val agg = WaveSelector.selectAgg(df)
         .select("host", "host_rank", "urlHash")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
       assert(agg === expected, "partial-agg top-k selection must be exact")
-      // the native TypedImperativeAggregate selector must be exact-equal too
+      // the native TypedImperativeAggregate selector (the crawl-engine
+      // default) must be exact-equal too
       val nat = graft.frontier.TopKSelectNative.select(df)
         .select("host", "host_rank", "urlHash")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
