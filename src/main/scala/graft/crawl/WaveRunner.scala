@@ -174,6 +174,15 @@ object WaveRunner {
         discoveredWave = 0, discoveredRank = s.rank.toLong, parentUrl = "")
     }
 
+  /** The seed list as frontier rows (the wave-0 pre-state) — the base a
+    * [[WaveSnapshots]] time-travel read folds deltas over when the snapshot
+    * history predates the first compacted base.
+    */
+  def seedFrontier(spark: SparkSession, seeds: Seq[Seed]): DataFrame = {
+    import spark.implicits._
+    seedEntriesOf(seeds).toDS().toDF()
+  }
+
   /** Cold-start crawl from a seed list. */
   def run(
       spark: SparkSession,
@@ -218,28 +227,12 @@ object WaveRunner {
 
     val last  = committed.max
     val waves = committed.sorted
-    val seedRows = seedEntriesOf(seeds).toDS().toDF()
+    val seedRows = seedFrontier(spark, seeds)
 
     // frontier = newest compacted base (else the seed rows) + latest-wins
-    // fold of the frontier deltas committed after it
-    val bases = store.listFrontierBases().filter(_ <= last)
-    val (base0, deltaWaves) =
-      if (bases.isEmpty) (seedRows, waves)
-      else (store.readFrontierBase(bases.max), waves.filter(_ > bases.max))
-    val frontierCols = Seq("url", "urlHash", "host", "depth", "priority",
-      "status", "retries", "discoveredWave", "discoveredRank", "parentUrl")
-    val frontier0 = deltaWaves
-      .map(w => store.readDelta(w, "frontier_delta").withColumn("__dw", lit(w)))
-      .reduceOption(_ unionByName _) match {
-      case None => base0
-      case Some(du) =>
-        val latest = du.groupBy(col("urlHash"))
-          .agg(max_by(struct(frontierCols.map(col): _*), col("__dw")).as("c"))
-          .select(col("c.*"))
-        base0.join(latest.select(col("urlHash")), Seq("urlHash"), "left_anti")
-          .select(frontierCols.map(col): _*)
-          .unionByName(latest.select(frontierCols.map(col): _*))
-    }
+    // fold of the frontier deltas committed after it — the shared
+    // time-travel read at wave `last` ([[WaveSnapshots.frontierAsOf]])
+    val frontier0 = WaveSnapshots.frontierAsOf(store, seedRows, last)
     val basePending0 = frontier0.filter(col("status") === FrontierStatus.Pending)
       .repartition(P, col("urlHash"))
     val doneDeltas0 = Seq(frontier0.filter(col("status") =!= FrontierStatus.Pending))
@@ -247,8 +240,7 @@ object WaveRunner {
     val seedSeen = seeds
       .map { s => val u = Urls.normalize(s.url); (Urls.urlHash64(u), u) }
       .toDF("url_hash", "url")
-    val seen0 = waves.map(w => store.readDelta(w, "seen_delta"))
-      .foldLeft(seedSeen)(_ unionByName _)
+    val seen0 = WaveSnapshots.seenAsOf(store, seedSeen, last)
       .repartition(P, col("url_hash"))
     val whitelist = cfg.hostWhitelist.getOrElse(
       seeds.map(s => Urls.hostOf(Urls.normalize(s.url))).distinct)

@@ -32,6 +32,22 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expect partial+final agg")
   }
 
+  test("native selector: partial ObjectHashAggregate before the host exchange") {
+    // the native TypedImperativeAggregate must keep the agg selector's
+    // partial-aggregation shape: a map-side ObjectHashAggregate combines each
+    // partition's candidates into ≤k-entry heaps BEFORE the host shuffle, so
+    // the exchange moves O(hosts×budget) buffers, never O(pending) rows
+    val p = plan(SparkEntry.queries("q_frontier_select_native")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial+final object hash aggregation")
+    // the details section spells the aggregate mode: a partial_ invocation
+    // of the native aggregate (printed by its expression nodeName) is the
+    // map-side combine itself
+    assert(p.contains("partial_topkselectnative"),
+      "the native aggregate must run in Partial mode before the exchange")
+  }
+
   test("top-k revenue: TakeOrderedAndProject, not a global sort") {
     val p = plan(SparkEntry.queries("q_topk_revenue")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
