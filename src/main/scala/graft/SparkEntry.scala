@@ -39,6 +39,7 @@ object SparkEntry {
     "q_langid"           -> ((s, d) => TextOps.langId(s, d)),
     "q_quality_score"    -> ((s, d) => TextOps.qualityScore(s, d)),
     "q_fingerprint"      -> ((s, d) => TextOps.fingerprint(s, d)),
+    "q_length_stats"     -> ((s, d) => TextOps.corpusLengthStats(s, d)),
     "q_tfidf_cosine"     -> ((s, d) => TextOps.tfidfCosine(s, d)),
     "q_text_search"      -> ((s, d) => relational.InvertedIndex.textSearch(s, d)),
     "q_corpus_prep"      -> ((s, d) => TextOps.corpusPrep(s, d)),
@@ -106,6 +107,7 @@ object SparkEntry {
     "q_langid"           -> TextOps.langIdSql,
     "q_quality_score"    -> TextOps.qualityScoreSql,
     "q_fingerprint"      -> TextOps.fingerprintSql,
+    "q_length_stats"     -> TextOps.corpusLengthStatsSql,
     "q_tfidf_cosine"     -> TextOps.tfidfCosineSql,
     "q_text_search"      -> relational.InvertedIndex.textSearchSql,
     "q_corpus_prep"      -> TextOps.corpusPrepSql,

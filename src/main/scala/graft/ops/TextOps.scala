@@ -141,6 +141,45 @@ object TextOps {
        |  length(text) AS n_chars_calc
        |FROM documents""".stripMargin
 
+  // ---- corpus length-distribution stats (training-data QA op) ----
+
+  /** Per-language token-count distribution over the corpus: doc count, total
+    * tokens, mean, sample stddev, and EXACT interpolated p50/p90/p99 — the
+    * pre-training mix QA readout ("how long are my documents per language,
+    * and where are the tails"). Quantiles use Spark's exact `percentile`
+    * aggregate (type-7 linear interpolation — the same definition as
+    * DuckDB's `quantile_cont`, so the oracle matches bit-for-bit after the
+    * shared 4-decimal rounding). One corpus scan, partial-aggregating
+    * group-by on the (tiny) language key; at 100 TB this is a single
+    * shuffle of per-partition percentile buffers, never a global sort.
+    */
+  def corpusLengthStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("t"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("t")).as("total_tokens"),
+        round(avg(col("t")), 4).as("mean_tokens"),
+        round(stddev_samp(col("t")), 4).as("sd_tokens"),
+        round(percentile(col("t"), lit(0.5)), 4).as("p50_tokens"),
+        round(percentile(col("t"), lit(0.9)), 4).as("p90_tokens"),
+        round(percentile(col("t"), lit(0.99)), 4).as("p99_tokens"))
+
+  val corpusLengthStatsSql: String =
+    """SELECT lang,
+      |  count(*) AS n_docs,
+      |  CAST(sum(t) AS BIGINT) AS total_tokens,
+      |  round(avg(t), 4) AS mean_tokens,
+      |  round(stddev_samp(t), 4) AS sd_tokens,
+      |  round(quantile_cont(t, 0.5), 4) AS p50_tokens,
+      |  round(quantile_cont(t, 0.9), 4) AS p90_tokens,
+      |  round(quantile_cont(t, 0.99), 4) AS p99_tokens
+      |FROM (SELECT lang,
+      |        len(regexp_extract_all(lower(text), '[a-z]+')) AS t
+      |      FROM documents)
+      |GROUP BY lang""".stripMargin
+
   // ---- language identification (n-gram/marker heuristic) ----
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(

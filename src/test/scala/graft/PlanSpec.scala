@@ -48,6 +48,19 @@ class PlanSpec extends SparkSpec {
       "the native aggregate must run in Partial mode before the exchange")
   }
 
+  test("length stats: one pruned corpus scan, partial percentile aggregation") {
+    val p = plan(SparkEntry.queries("q_length_stats")(spark, sf))
+    // count scan NODES (formatted mode prints tree line + detail header)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1,
+      "exactly one corpus scan")
+    // exact percentile is a TypedImperativeAggregate: partial buffers
+    // map-side, one shuffle on the (tiny) language key — never a global sort
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Sort "), "no global sort for exact quantiles")
+    assert(p.contains("ReadSchema: struct<text:string,lang:string>"),
+      "scan must read only text+lang")
+  }
+
   test("top-k revenue: TakeOrderedAndProject, not a global sort") {
     val p = plan(SparkEntry.queries("q_topk_revenue")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
