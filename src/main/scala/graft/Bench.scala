@@ -34,7 +34,9 @@ object Bench {
     // #4): the CC queries also log per-round label stats (graft.cc.debug)
     "q_dup_clusters", "q_dup_clusters_lsh", "q_simhash_pairs",
     // training-data preparation operators (round 5)
-    "q_redact_pii", "q_sample_stratified", "q_pack_sequences")
+    "q_redact_pii", "q_sample_stratified", "q_pack_sequences",
+    // exact-quantile corpus QA (late round 5)
+    "q_length_stats")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
