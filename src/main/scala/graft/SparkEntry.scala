@@ -1,7 +1,7 @@
 package graft
 
 import graft.crawl.CrawlQueries
-import graft.ops.{Ann, Dedup, Multimodal, Prep, TextOps}
+import graft.ops.{Ann, Cluster, Dedup, Multimodal, Prep, TextOps}
 import graft.relational.StarQueries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -51,6 +51,8 @@ object SparkEntry {
     "q_repetition_stats" -> ((s, d) => Prep.repetitionStats(s, d)),
     "q_decontaminate"    -> ((s, d) => Prep.decontaminate(s, d)),
     "q_domain_mix"       -> ((s, d) => Prep.domainMixCap(s, d)),
+    "q_shuffle_shard"    -> ((s, d) => Prep.shuffleShard(s, d)),
+    "q_boilerplate_grams" -> ((s, d) => Prep.boilerplateGrams(s, d)),
     // dedup family
     "q_dedup_exact"      -> ((s, d) => Dedup.dedupExact(s, d)),
     "q_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -71,6 +73,9 @@ object SparkEntry {
     "q_ann_lsh_probe"    -> ((s, d) => Ann.annLshTopk(s, d)),
     "q_ann_ivf_probe"    -> ((s, d) => Ann.ivfTopk(s, d)),
     "q_embedding_neardup" -> ((s, d) => Ann.embeddingNearDup(s, d)),
+    // semantic curation (full-corpus k-means + SemDeDup-style near-dup)
+    "q_kmeans_clusters"  -> ((s, d) => Cluster.kmeansClusters(s, d)),
+    "q_semantic_neardup" -> ((s, d) => Cluster.semanticNearDup(s, d)),
     // multimodal plumbing
     "q_media_meta"       -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_media_frames"     -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -117,6 +122,8 @@ object SparkEntry {
     "q_repetition_stats" -> Prep.repetitionStatsSql,
     "q_decontaminate"    -> Prep.decontaminateSql(),
     "q_domain_mix"       -> Prep.domainMixCapSql,
+    "q_shuffle_shard"    -> Prep.shuffleShardSql,
+    "q_boilerplate_grams" -> Prep.boilerplateGramsSql(),
     "q_dedup_exact"      -> Dedup.dedupExactSql,
     "q_ngram_jaccard"    -> Dedup.ngramJaccardSql,
     "q_dup_clusters"     -> Dedup.dupClustersSql,
@@ -124,6 +131,8 @@ object SparkEntry {
     "q_ann_lsh"          -> Ann.cosineTopkSqlK(10),
     "q_ann_ivf"          -> Ann.cosineTopkSqlK(10),
     "q_embedding_neardup" -> Ann.embeddingNearDupSql,
+    "q_kmeans_clusters"  -> Cluster.kmeansClustersSql(),
+    "q_semantic_neardup" -> Cluster.semanticNearDupSql(),
     "q_media_decode_stub" -> Multimodal.mediaDecodeStubSql,
     "q_media_meta"       -> Multimodal.mediaMetaSql,
     "q_media_frames"     -> Multimodal.frameSampleSql,

@@ -150,6 +150,103 @@ object Prep {
        |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
        |  FROM documents) c""".stripMargin
 
+  // ---- deterministic corpus shuffle + training-shard assignment ----
+
+  /** DuckDB replica of `conv(substring(md5(x), 1, 6), 16, 10)` — DuckDB has
+    * no hex→int cast, so the 6-digit value is rebuilt arithmetically (the
+    * engine-portable uniform hash proven for the media stub / stratified
+    * sample).
+    */
+  private def md5Mod6Sql(x: String): String =
+    (1 to 6).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5($x), $i, 1)) - 1)" +
+        s" * ${math.pow(16, 6 - i).toLong}"
+    }.mkString("( ", "\n      + ", " )")
+
+  /** The trainer-facing global shuffle: every document gets a SHARD and a
+    * position within it, both pure functions of `doc_id` (md5 order — no RNG
+    * state, reproducible engine-to-engine and resumable mid-write). This is
+    * the step that breaks source/domain locality before sequence packing, so
+    * adjacent training sequences draw from the whole corpus.
+    *
+    * Scale shape: shard = row-local hash; position = a window PARTITIONED by
+    * shard (one hash shuffle, per-shard local sort — with shards sized to
+    * executors, each task sorts corpus/shards rows; no global sort, no
+    * unpartitioned window).
+    */
+  val ShuffleShards: Int = 8
+
+  def shuffleShard(spark: SparkSession, dir: String,
+      shards: Int = ShuffleShards): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("__h"))
+      .withColumn("shard",
+        conv(substring(col("__h"), 1, 6), 16, 10).cast("long") % shards)
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+  }
+
+  val shuffleShardSql: String =
+    s"""SELECT doc_id, shard, CAST(row_number() OVER (
+       |    PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+       |        ${md5Mod6Sql("CAST(doc_id AS VARCHAR)")} % $ShuffleShards AS shard
+       |      FROM documents) s""".stripMargin
+
+  // ---- cross-document boilerplate n-gram stats ----
+
+  /** Per-document share of token n-grams that are corpus BOILERPLATE — grams
+    * appearing in at least `minDocFracBp`/10000 of all documents (C4/CCNet
+    * remove exactly this cross-document repeated material; the fraction
+    * threshold keeps the semantics scale-free). Documents shorter than n
+    * tokens have no grams and drop out, mirrored by the oracle.
+    *
+    * Scale shape: the gram projection is persisted so the corpus is scanned
+    * ONCE across the frequency and scoring branches; document frequency is a
+    * two-phase distinct-agg on the gram key; the boilerplate set is
+    * BROADCAST back (bounded above by totalGramOccurrences/minDocs — a
+    * frequency-thresholded set is small by construction); the only other
+    * shuffle is the final doc-keyed count.
+    */
+  val BoilerplateMinDocFracBp: Long = 800L // gram in >= 8% of documents
+
+  def boilerplateGrams(spark: SparkSession, dir: String, n: Int = 2,
+      minDocFracBp: Long = BoilerplateMinDocFracBp): DataFrame = {
+    val base = TextOps.parallelized(docs(spark, dir))
+    val total = base.count() // one scalar action, bounded at any scale
+    val grams = base
+      .select(col("doc_id"), explode(gramArr(TextOps.tokens(col("text")), n)).as("g"))
+      .persist()
+    val boiler = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") * 10000L >= lit(total * minDocFracBp))
+      .select(col("g"), lit(1L).as("__b"))
+    grams.join(broadcast(boiler), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__b"), lit(0L))).as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        expr("CAST((n_boiler * 10000) DIV n_grams AS BIGINT)").as("boiler_bp"))
+  }
+
+  def boilerplateGramsSql(n: Int = 2,
+      minDocFracBp: Long = BoilerplateMinDocFracBp): String =
+    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+       |            FROM documents),
+       |grams AS (${gramRowsSql(n)}),
+       |boiler AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) nd
+       |                          FROM grams GROUP BY 1) f
+       |           WHERE nd * 10000 >=
+       |                 (SELECT count(*) FROM documents) * $minDocFracBp)
+       |SELECT g.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_boiler,
+       |  CAST((sum(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) * 10000) // count(*)
+       |       AS BIGINT) AS boiler_bp
+       |FROM grams g LEFT JOIN boiler b ON g.g = b.g
+       |GROUP BY g.doc_id""".stripMargin
+
   // ---- shared n-gram plumbing (repetition stats + decontamination) ----
 
   /** Row-local token k-grams joined with single spaces. `sequence(1, 0)` in

@@ -294,4 +294,117 @@ class OpsSpec extends SparkSpec {
     assert(groups.length === 2)
     assert(groups.find(_.getAs[Long]("n") === 2L).get.getAs[Long]("first_doc") === 0L)
   }
+
+  /** Deterministic 3-blob fixture: blob centers far apart, per-vector noise
+    * tiny relative to the separation (assignment margins are huge, so the
+    * distributed/driver double-summation-order difference cannot flip them).
+    */
+  private def blobEmbeddings(perBlob: Int, dims: Int): Seq[(Long, Int, Seq[Float])] = {
+    val centers = Array(
+      Array.fill(dims)(10.0), Array.fill(dims)(-10.0),
+      Array.tabulate(dims)(d => if (d % 2 == 0) 10.0 else -10.0))
+    // vec_ids 0,1,2 are one member of each blob → k-means init (the k lowest
+    // ids) starts with one centroid per blob
+    (0 until 3 * perBlob).map { i =>
+      val blob = i % 3
+      val v = centers(blob).zipWithIndex.map { case (c, d) =>
+        var z = (i.toLong << 16) + d
+        z = (z ^ (z >>> 13)) * 0x9e3779b97f4a7c15L
+        (c + (math.abs(z % 1000L).toDouble / 1000.0 - 0.5)).toFloat
+      }
+      (i.toLong, blob, v.toSeq)
+    }
+  }
+
+  test("k-means: planted blobs are recovered; distributed == driver Lloyd reference") {
+    val dims = 4
+    val data = blobEmbeddings(perBlob = 20, dims = dims)
+    val e0 = data.toDF("vec_id", "label", "embedding")
+    val iters = 4
+    val got = graft.ops.Cluster.kmeansAssign(e0, k = 3, iters = iters, dims = dims)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // blob purity: every member shares its blob's cluster; blobs differ
+    val byBlob = data.groupBy(_._2).view.mapValues(_.map(v => got(v._1)).toSet).toMap
+    byBlob.foreach { case (b, cs) => assert(cs.size === 1, s"blob $b split: $cs") }
+    assert(byBlob.values.flatten.toSet.size === 3, "blobs must map to distinct clusters")
+
+    // exact parity with the sequential Lloyd reference (same init order,
+    // iters-1 recomputes, then a final assignment by nearest centroid)
+    val pts = data.sortBy(_._1).map(_._3.map(_.toDouble).toArray).toArray
+    val cents = Ann.kmeansDeterministic(pts, k = 3, iters = iters - 1)
+    data.foreach { case (id, _, v) =>
+      val p = v.map(_.toDouble).toArray
+      val best = cents.indices.minBy { c =>
+        var d = 0.0; var i = 0
+        while (i < dims) { val x = p(i) - cents(c)(i); d += x * x; i += 1 }
+        (d, c)
+      }
+      assert(got(id) === best.toLong, s"vec $id: distributed ${got(id)} vs reference $best")
+    }
+  }
+
+  test("semantic near-dup: pairs equal brute force within the operator's clusters") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val clusters = graft.ops.Cluster.kmeansClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      if clusters(vecs(i)._1) == clusters(vecs(j)._1)
+      if cos(vecs(i)._2, vecs(j)._2) >= 0.3
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    val got = graft.ops.Cluster.semanticNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "threshold should yield candidate pairs on this corpus")
+  }
+
+  test("shuffle-shard: a deterministic permutation — dense 1..n positions per shard") {
+    val out = graft.ops.Prep.shuffleShard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.length.toLong === total, "every document gets a slot")
+    assert(out.map(_._1).distinct.length === out.length)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < graft.ops.Prep.ShuffleShards)
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $shard positions must be dense 1..n")
+    }
+    val again = graft.ops.Prep.shuffleShard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet === out.toSet, "pure function of doc_id — reproducible")
+  }
+
+  test("boilerplate grams: planted cross-doc phrase flagged, unique doc untouched") {
+    val boiler = "subscribe to our newsletter today"
+    // per-doc suffix words must be LETTER-distinct: the tokenizer is [a-z]+,
+    // so a digit suffix would collapse every doc to the same token stream
+    val docs = (0L until 9L).map { i =>
+      val s = ('a' + i.toInt).toChar
+      (i, s"$boiler unique$s$s content$s$s words$s$s")
+    } :+ (9L, "entirely original prose with no shared material anywhere")
+    val tmp = java.nio.file.Files.createTempDirectory("boiler").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // threshold 50% of docs: the planted phrase's bigrams (in 9/10 docs)
+    // qualify; each doc's unique suffix bigrams don't
+    val out = graft.ops.Prep.boilerplateGrams(spark, tmp, n = 2, minDocFracBp = 5000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler"))).toMap
+    (0L until 9L).foreach { i =>
+      // "subscribe to","to our","our newsletter","newsletter today" = 4
+      // boilerplate bigrams; "today unique$i" etc. are per-doc unique
+      assert(out(i)._2 === 4L, s"doc $i boiler grams: ${out(i)}")
+      assert(out(i)._1 === 7L)
+    }
+    assert(out(9L)._2 === 0L, "unique doc carries no boilerplate")
+  }
 }
