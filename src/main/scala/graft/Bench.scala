@@ -36,7 +36,11 @@ object Bench {
     // training-data preparation operators (round 5)
     "q_redact_pii", "q_sample_stratified", "q_pack_sequences",
     // exact-quantile corpus QA (late round 5)
-    "q_length_stats")
+    "q_length_stats",
+    // semantic curation + span dedup (final round-5 session): the iterative
+    // k-means and the chunk-keyed window are the two newest shuffle shapes
+    "q_kmeans_clusters", "q_semantic_neardup", "q_chunk_dedup",
+    "q_boilerplate_grams")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

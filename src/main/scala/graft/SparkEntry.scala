@@ -53,6 +53,8 @@ object SparkEntry {
     "q_domain_mix"       -> ((s, d) => Prep.domainMixCap(s, d)),
     "q_shuffle_shard"    -> ((s, d) => Prep.shuffleShard(s, d)),
     "q_boilerplate_grams" -> ((s, d) => Prep.boilerplateGrams(s, d)),
+    "q_chunk_dedup"      -> ((s, d) => Prep.chunkDedup(s, d)),
+    "q_vocab_encode"     -> ((s, d) => Prep.vocabEncode(s, d)),
     // dedup family
     "q_dedup_exact"      -> ((s, d) => Dedup.dedupExact(s, d)),
     "q_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -124,6 +126,8 @@ object SparkEntry {
     "q_domain_mix"       -> Prep.domainMixCapSql,
     "q_shuffle_shard"    -> Prep.shuffleShardSql,
     "q_boilerplate_grams" -> Prep.boilerplateGramsSql(),
+    "q_chunk_dedup"      -> Prep.chunkDedupSql(),
+    "q_vocab_encode"     -> Prep.vocabEncodeSql(),
     "q_dedup_exact"      -> Dedup.dedupExactSql,
     "q_ngram_jaccard"    -> Dedup.ngramJaccardSql,
     "q_dup_clusters"     -> Dedup.dupClustersSql,

@@ -22,7 +22,17 @@ object Ann {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity — the NATIVE fused expression
+    * ([[graft.functions.VectorExprs]]): one codegen'd pass instead of three
+    * interpreted HOF folds, bit-identical results (same accumulation order).
+    * Callers must have [[graft.functions.VectorExprs.register]]ed on the
+    * owning session (every public op here does).
+    */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosine(a, b)
+
+  /** The HOF fold [[cosine]] replaced — kept as the parity cross-check. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Brute-force cosine top-k against the query vector (vec_id = min).
@@ -30,6 +40,7 @@ object Ann {
     * vector, TakeOrderedAndProject for the top-k — no shuffle of the corpus.
     */
   def cosineTopk(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     val e = emb(spark, dir).withColumn("v", col("embedding").cast("array<double>"))
     val qId = e.agg(min(col("vec_id")).as("q_id"))
     val q = e.join(broadcast(qId), e("vec_id") === qId("q_id"))
@@ -140,6 +151,7 @@ object Ann {
     */
   def lshTopkIndexed(index: DataFrame, qv: Array[Double], planes: Int,
       nProbe: Int, k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(index.sparkSession)
     val buckets = lshProbeBuckets(qv, planes, nProbe)
     // literals typed to match the raw partition column (int when read back
     // from [[readLshIndex]], long when probing an in-memory build): a
@@ -252,9 +264,9 @@ object Ann {
     * and plan-inspectable.)
     */
   def assignIvfCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
     val e = emb.withColumn("v", col("embedding").cast("array<double>"))
-    val d2 = aggregate(zip_with(col("v"), col("centroid"),
-      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val d2 = graft.functions.VectorExprs.dist2(col("v"), col("centroid"))
     e.crossJoin(broadcast(centroids))
       .withColumn("__d", d2)
       .groupBy(col("vec_id"))
@@ -283,6 +295,7 @@ object Ann {
     */
   def ivfTopkIndexed(index: DataFrame, centroids: DataFrame, qv: Array[Double],
       nProbe: Int, k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(index.sparkSession)
     val qCells = centroids.collect().map { r =>
       val c = r.getSeq[Double](r.fieldIndex("centroid")).toArray
       var d = 0.0; var j = 0
@@ -333,6 +346,7 @@ object Ann {
     * [[Dedup.ngramJaccard]].
     */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     val e = emb(spark, dir).withColumn("v", col("embedding").cast("array<double>"))
     val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))

@@ -16,13 +16,13 @@ import org.apache.spark.sql.functions._
   *    first, compare pairs only inside a cluster, never across the corpus.
   *
   * Scale shape per k-means iteration: ONE corpus scan; the assignment is
-  * row-local (a fold over a centroid array literal — zero shuffle), and the
-  * recompute shuffle carries only k×(dims+1) partially-aggregated cells.
-  * Nothing driver-side grows with corpus size. For curation-scale k (tens to
-  * a few hundred) the k×dims codegen literal is well under generated-code
-  * limits; an nlist-scale quantizer (4k-64k cells) uses the broadcast-table
-  * `min_by` form ([[Ann.assignIvfCells]]) instead — the round-2 finding on
-  * literal-array codegen blow-up governs the choice.
+  * row-local (the native fused [[graft.functions.NearestCell]] expression
+  * over a codegen REFERENCE OBJECT holding the centroid matrix — zero
+  * shuffle, zero per-row allocation, and generated-code size independent of
+  * k), and the recompute shuffle carries only k×(dims+1) partially-aggregated
+  * cells. Nothing driver-side grows with corpus size. An nlist-scale
+  * quantizer (4k-64k cells) still prefers the broadcast-table `min_by` form
+  * ([[Ann.assignIvfCells]]) so the probe side stays a relational join.
   */
 object Cluster {
 
@@ -37,11 +37,14 @@ object Cluster {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Row-local nearest-centroid cell over a centroid ARRAY literal; ties
-    * break to the LOWEST cell (strict `<` in the fold keeps the first
-    * minimum — mirrored by `ORDER BY dist, cell` in the oracle).
+  /** Row-local nearest-centroid cell as the HOF fold over a centroid ARRAY
+    * literal; ties break to the LOWEST cell (strict `<` in the fold keeps
+    * the first minimum — mirrored by `ORDER BY dist, cell` in the oracle).
+    * The engine path is the NATIVE fused expression
+    * ([[graft.functions.NearestCell]], bit-identical by construction); this
+    * fold is kept as the parity cross-check ClusterSpec pins.
     */
-  def nearestCell(v: Column, cents: Array[Array[Double]]): Column = {
+  def nearestCellHof(v: Column, cents: Array[Array[Double]]): Column = {
     val centArr = array(cents.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cell"), array(c.map(lit): _*).as("c"))
     }: _*)
@@ -64,13 +67,21 @@ object Cluster {
     */
   def kmeansAssign(e0: DataFrame, k: Int, iters: Int, dims: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = e0.sparkSession
+    // Dataset analysis is eager, so each registration binds the centroid
+    // snapshot into the plan built right after it; later re-registrations
+    // never touch an already-analyzed plan.
+    def assign(cents: Array[Array[Double]]): Column = {
+      graft.functions.VectorExprs.registerNearest(spark, cents)
+      graft.functions.VectorExprs.nearestCell(col("v"))
+    }
     val e = e0.withColumn("v", col("embedding").cast("array<double>"))
     var cents: Array[Array[Double]] = e.orderBy(col("vec_id")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     require(cents.length == k, s"need >= $k vectors, got ${cents.length}")
     for (_ <- 1 until iters) {
       // one scan: row-local assign, then k×(dims+1) partial-agg cells
-      val sums = e.withColumn("cell", nearestCell(col("v"), cents))
+      val sums = e.withColumn("cell", assign(cents))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"),
           (0 until dims).map(i => sum(col("v")(i)).as(s"s$i")): _*)
@@ -84,7 +95,7 @@ object Cluster {
       cents = next
     }
     e.select(col("vec_id"), col("label"),
-      nearestCell(col("v"), cents).cast("long").as("cluster"), col("v"))
+      assign(cents).cast("long").as("cluster"), col("v"))
   }
 
   /** Driver-contract query: cluster assignment of every vector. */
@@ -102,6 +113,7 @@ object Cluster {
     */
   def semanticNearDup(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 3, threshold: Double = 0.3): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     val a = kmeansAssign(emb(spark, dir), k, iters, Ann.Dims)
       .select(col("vec_id"), col("cluster"), col("v"))
     val l = a.select(col("cluster"), col("vec_id").as("a_id"), col("v").as("a_v"))

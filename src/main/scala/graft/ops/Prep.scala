@@ -247,6 +247,125 @@ object Prep {
        |FROM grams g LEFT JOIN boiler b ON g.g = b.g
        |GROUP BY g.doc_id""".stripMargin
 
+  // ---- exact span dedup at token-chunk granularity ----
+
+  /** Corpus-wide exact SPAN dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", at fixed-chunk granularity): each
+    * document's token stream is cut into disjoint `chunk`-token chunks
+    * (trailing partial kept); a chunk occurrence SURVIVES iff it is the
+    * corpus-wide first occurrence of that chunk text — ordered by
+    * (doc_id, position), so later repeats across documents AND within one
+    * document drop. Emits per-doc chunk counts and the REWRITTEN text
+    * (surviving chunks re-joined in document order) — the payload a trainer
+    * actually consumes. Token-less documents have no chunks and drop out,
+    * mirrored by the oracle.
+    *
+    * Scale shape: ONE corpus scan; the chunk cut is row-local; keep-first is
+    * a window PARTITIONED by chunk text (one hash shuffle on the chunk key —
+    * the same shuffle an agg+join-back would pay, without the join); the
+    * rebuild is a doc-keyed agg whose per-group state is bounded by the
+    * document length. Nothing is quadratic and nothing collects.
+    */
+  val ChunkTokens: Int = 16
+
+  def chunkDedup(spark: SparkSession, dir: String,
+      chunk: Int = ChunkTokens): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("pos"))
+    TextOps.parallelized(docs(spark, dir))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1) // sequence(0, -1) would step DOWN
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST((size(toks) - 1) DIV $chunk AS INT)),
+           |  i -> concat_ws(' ', slice(toks, i * $chunk + 1, $chunk)))"""
+          .stripMargin)))
+      .withColumnRenamed("col", "chunk")
+      .withColumn("kept", (row_number().over(w) === 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("kept")).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("kept") === 1L, struct(col("pos"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("clean_text"))
+  }
+
+  def chunkDedupSql(chunk: Int = ChunkTokens): String =
+    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+       |            FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(list_slice(toks, i * $chunk + 1, i * $chunk + $chunk),
+       |                    ' ') AS chunk
+       |  FROM tok, unnest(CASE WHEN len(toks) >= 1
+       |    THEN generate_series(0, (len(toks) - 1) // $chunk) ELSE [] END) AS t(i)),
+       |flagged AS (
+       |  SELECT doc_id, pos, chunk,
+       |    CASE WHEN row_number() OVER (PARTITION BY chunk
+       |                                 ORDER BY doc_id, pos) = 1
+       |         THEN 1 ELSE 0 END AS kept
+       |  FROM chunks)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(kept) AS BIGINT) AS n_kept,
+       |  COALESCE(string_agg(CASE WHEN kept = 1 THEN chunk END, ' '
+       |                      ORDER BY pos), '') AS clean_text
+       |FROM flagged GROUP BY doc_id""".stripMargin
+
+  // ---- vocabulary build + token-id encoding ----
+
+  /** Trainer-facing tokenizer back-end: build the top-`v` corpus vocabulary
+    * (frequency desc, token asc — a total order, so the cut at `v` is
+    * deterministic on any engine), then encode every document as its id
+    * sequence in token order, OOV as -1. Emits (doc_id, n_tokens, n_oov,
+    * ids) — the arrays a sequence-packing stage consumes. Token-less
+    * documents drop out (no sequence to emit), mirrored by the oracle.
+    *
+    * Scale shape: one corpus scan feeds a persisted positional token
+    * projection used by BOTH branches; the frequency agg is token-keyed with
+    * map-side partials; the top-`v` cut is TakeOrderedAndProject into a
+    * bounded driver collect (v rows — the vocabulary is driver-sized by
+    * definition) re-broadcast as the join side; the encode re-agg is
+    * doc-keyed with per-group state bounded by document length.
+    */
+  val VocabSize: Int = 64
+
+  def vocabEncode(spark: SparkSession, dir: String,
+      v: Int = VocabSize): DataFrame = {
+    import spark.implicits._
+    val t = TextOps.parallelized(docs(spark, dir))
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .withColumnRenamed("col", "tok")
+      .persist()
+    val vocab = t.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(v)
+      .collect() // bounded: exactly v rows
+      .zipWithIndex.map { case (r, i) => (r.getString(0), i.toLong) }.toSeq
+      .toDF("tok", "id")
+    t.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        transform(array_sort(collect_list(
+          struct(col("pos"), coalesce(col("id"), lit(-1L)).as("id")))),
+          x => x.getField("id")).as("ids"))
+  }
+
+  def vocabEncodeSql(v: Int = VocabSize): String =
+    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+       |            FROM documents),
+       |t AS (SELECT doc_id, unnest(toks) AS tok,
+       |             generate_subscripts(toks, 1) AS pos
+       |      FROM tok),
+       |vocab AS (
+       |  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok) - 1 AS BIGINT) AS id
+       |  FROM (SELECT tok, count(*) AS n FROM t GROUP BY tok
+       |        ORDER BY n DESC, tok LIMIT $v))
+       |SELECT t.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  list(COALESCE(v.id, -1) ORDER BY t.pos) AS ids
+       |FROM t LEFT JOIN vocab v USING (tok)
+       |GROUP BY t.doc_id""".stripMargin
+
   // ---- shared n-gram plumbing (repetition stats + decontamination) ----
 
   /** Row-local token k-grams joined with single spaces. `sequence(1, 0)` in

@@ -384,6 +384,99 @@ class OpsSpec extends SparkSpec {
     assert(again.toSet === out.toSet, "pure function of doc_id — reproducible")
   }
 
+  test("chunk dedup: corpus-wide keep-first, within-doc repeats drop, text rewritten") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),            // both chunks first occurrences
+      (1L, "alpha beta epsilon zeta"),           // loses "alpha beta" to doc 0
+      (2L, "omega psi omega psi"),               // within-doc repeat drops
+      (3L, "gamma delta"),                       // whole doc already seen
+      (4L, "1234 5678"))                         // no alphabetic tokens -> absent
+    val tmp = java.nio.file.Files.createTempDirectory("chunkdedup").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.ops.Prep.chunkDedup(spark, tmp, chunk = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("clean_text")))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L))
+    assert(out(0L) === ((2L, 2L, "alpha beta gamma delta")))
+    assert(out(1L) === ((2L, 1L, "epsilon zeta")))
+    assert(out(2L) === ((2L, 1L, "omega psi")))
+    assert(out(3L) === ((1L, 0L, "")))
+    // trailing partial chunk is kept and can itself dedup
+    val odd = Seq((0L, "one two three"), (1L, "zzz yyy three"))
+    odd.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val o2 = graft.ops.Prep.chunkDedup(spark, tmp, chunk = 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("clean_text")).toMap
+    assert(o2(0L) === "one two three")
+    assert(o2(1L) === "zzz yyy") // partial chunk "three" lost to doc 0
+  }
+
+  test("vocab encode: deterministic top-V cut, order-preserving ids, OOV as -1") {
+    // frequencies: aa x4, bb x3, cc x2 tie dd x2 (token order breaks the
+    // tie), ee x1 falls outside V=4
+    val docs = Seq(
+      (0L, "aa bb cc dd aa"),
+      (1L, "bb dd cc aa bb"),
+      (2L, "ee aa"),
+      (3L, "12 34")) // token-less -> absent
+    val tmp = java.nio.file.Files.createTempDirectory("vocab").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.ops.Prep.vocabEncode(spark, tmp, v = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_oov"), r.getSeq[Long](r.fieldIndex("ids"))))).toMap
+    // vocab: aa=0 (4), bb=1 (3), cc=2 (2, tie ct<dd), dd=3 (2)
+    assert(out.keySet === Set(0L, 1L, 2L))
+    assert(out(0L) === ((5L, 0L, Seq(0L, 1L, 2L, 3L, 0L))))
+    assert(out(1L) === ((5L, 0L, Seq(1L, 3L, 2L, 0L, 1L))))
+    assert(out(2L) === ((2L, 1L, Seq(-1L, 0L))))
+  }
+
+  test("native vector expressions: bit-identical to the HOF folds, matching null semantics") {
+    import graft.functions.VectorExprs
+    import java.lang.Double.doubleToLongBits
+    VectorExprs.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+    val rows = a.join(b, col("a_id") + 1 === col("b_id"))
+      .select(
+        VectorExprs.cosine(col("a_v"), col("b_v")).as("nc"),
+        Ann.cosineHof(col("a_v"), col("b_v")).as("hc"),
+        VectorExprs.dist2(col("a_v"), col("b_v")).as("nd"),
+        graft.ops.Cluster.dist2(col("a_v"), col("b_v")).as("hd"))
+      .collect()
+    assert(rows.length === 499)
+    rows.foreach { r =>
+      assert(doubleToLongBits(r.getDouble(0)) === doubleToLongBits(r.getDouble(1)))
+      assert(doubleToLongBits(r.getDouble(2)) === doubleToLongBits(r.getDouble(3)))
+    }
+
+    // nearest cell: native reference-object loop == HOF fold, every vector
+    val cents = e.orderBy(col("vec_id")).limit(5)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    VectorExprs.registerNearest(spark, cents)
+    val cells = e.select(VectorExprs.nearestCell(col("v")).as("n"),
+      graft.ops.Cluster.nearestCellHof(col("v"), cents).as("h")).collect()
+    cells.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+
+    // zip_with pads a length mismatch with nulls (nulling the fold); the
+    // native expressions must agree, and element nulls must also null out
+    val odd = Seq(
+      (Seq(1.0, 2.0), Seq(3.0)),
+      (Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a_v", "b_v")
+      .withColumn("b_v", when(lit(true), col("b_v"))) // keep nullable type
+    val nulled = odd.select(
+      VectorExprs.cosine(col("a_v"), col("b_v")).as("nc"),
+      Ann.cosineHof(col("a_v"), col("b_v")).as("hc"),
+      VectorExprs.dist2(col("a_v"), col("b_v")).as("nd"),
+      graft.ops.Cluster.dist2(col("a_v"), col("b_v")).as("hd")).collect()
+    assert(nulled.count(_.isNullAt(0)) === 1)
+    nulled.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      assert(r.isNullAt(2) === r.isNullAt(3))
+    }
+  }
+
   test("boilerplate grams: planted cross-doc phrase flagged, unique doc untouched") {
     val boiler = "subscribe to our newsletter today"
     // per-doc suffix words must be LETTER-distinct: the tokenizer is [a-z]+,
