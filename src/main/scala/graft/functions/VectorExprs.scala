@@ -30,6 +30,7 @@ object VectorExprs {
 
   val CosineFn  = "graft_cosine"
   val Dist2Fn   = "graft_dist2"
+  val DotFn     = "graft_dot"
   val NearestFn = "graft_nearest_cell"
 
   /** Idempotent per-session registration (same entry point the native top-k
@@ -41,6 +42,8 @@ object VectorExprs {
       (es: Seq[Expression]) => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction(Dist2Fn,
       (es: Seq[Expression]) => L2Dist2(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(DotFn,
+      (es: Seq[Expression]) => DotProduct(es(0), es(1)), "scala_udf")
   }
 
   /** Per-call registration for the centroid-carrying nearest-cell expression:
@@ -55,6 +58,7 @@ object VectorExprs {
 
   def cosine(a: Column, b: Column): Column = call_function(CosineFn, a, b)
   def dist2(a: Column, b: Column): Column = call_function(Dist2Fn, a, b)
+  def dot(a: Column, b: Column): Column = call_function(DotFn, a, b)
   def nearestCell(v: Column): Column = call_function(NearestFn, v)
 }
 
@@ -112,6 +116,43 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Single-pass dot product over two `array<double>` columns. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with DoubleArrayPair {
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var d = 0.0; var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      d += x.getDouble(i) * y.getDouble(i); i += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, d) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("d"))
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $d += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $d; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
 

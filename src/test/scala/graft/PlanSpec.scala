@@ -202,4 +202,57 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unpartitioned Window.orderBy found in: ${offenders.mkString(", ")}")
   }
+
+  test("vector rewrite rule: HOF folds optimize to the native expressions, bit-equal") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Ann, Cluster}
+    val qv = array((1 to 64).map(d => lit(math.sin(d.toDouble))): _*)
+    def build() = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"),
+        Ann.cosineHof(col("v"), qv).as("c"),      // dot/(sqrt*sqrt) of folds
+        Cluster.dist2(col("v"), qv).as("d"),      // squared-diff fold
+        Ann.dot(col("v"), qv).as("p"))            // product fold
+    val before = build().collect()
+
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.VectorRewrite
+    try {
+      val df = build()
+      val opt = df.queryExecution.optimizedPlan.toString()
+      assert(opt.contains("cosinesim"), s"cosine fold must fuse:\n$opt")
+      assert(opt.contains("l2dist2"), s"dist2 fold must rewrite:\n$opt")
+      assert(opt.contains("dotproduct"), s"dot fold must rewrite:\n$opt")
+      assert(!opt.contains("aggregate(zip_with"), s"no HOF fold may remain:\n$opt")
+      val after = df.collect()
+      assert(after.length === before.length)
+      before.sortBy(_.getLong(0)).zip(after.sortBy(_.getLong(0))).foreach {
+        case (b, a) =>
+          (1 to 3).foreach { i =>
+            assert(java.lang.Double.doubleToLongBits(b.getDouble(i)) ===
+              java.lang.Double.doubleToLongBits(a.getDouble(i)))
+          }
+      }
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.VectorRewrite)
+    }
+  }
+
+  test("graft extensions: the injection entry point registers cleanly") {
+    // getOrCreate cannot re-extend the shared test session, so exercise the
+    // injection surface directly (a fresh SparkSessionExtensions accepts the
+    // rule + the three function descriptors without throwing), and evaluate
+    // an injected builder's expression interpreted.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val a = Literal.create(Array(1.0, 2.0))
+    val b = Literal.create(Array(1.0, 2.0))
+    assert(math.abs(graft.functions.CosineSim(a, b).eval(null)
+      .asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(graft.functions.L2Dist2(a, b).eval(null).asInstanceOf[Double] === 0.0)
+    assert(graft.functions.DotProduct(a, b).eval(null).asInstanceOf[Double] === 5.0)
+  }
 }
