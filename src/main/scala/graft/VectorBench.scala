@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.VectorExprs
-import graft.ops.{Ann, Cluster}
+import graft.functions.{HashExprs, VectorExprs}
+import graft.ops.{Ann, Cluster, Dedup}
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
@@ -35,6 +35,7 @@ object VectorBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     VectorExprs.register(spark)
+    HashExprs.register(spark)
 
     // deterministic synthetic corpus, persisted so generation isn't timed
     val e = spark.range(rows).select(col("id").as("vec_id"),
@@ -50,14 +51,35 @@ object VectorBench {
       math.cos(c * dims + d + 1.0)))
     VectorExprs.registerNearest(spark, cents)
 
+    // token corpus for the hash-signature arms: ~40 distinct synthetic
+    // tokens per row (the documents table's distinct-token order of
+    // magnitude), derived from the same deterministic id stream. Fewer rows
+    // than the vector corpus — the HOF minhash is two orders slower.
+    val hashRows = math.max(1000L, rows / 20)
+    val t = spark.range(hashRows).select(col("id").as("doc_id"),
+      transform(sequence(lit(1), lit(40)),
+        w => concat(lit("tok"), pmod(xxhash64(col("id"), w), lit(100000))))
+        .as("toks"))
+      .withColumn("txt", concat(lit("Mixed CASE header 42! "),
+        array_join(col("toks"), ", ")))
+      .persist()
+    t.count()
+
     def drive(c: Column): Unit = { e.select(sum(c)).head() }
+    def driveT(c: Column): Unit = { t.select(sum(hash(c))).head() }
     val arms: Seq[(String, () => Unit)] = Seq(
       "cosine_native" -> (() => drive(VectorExprs.cosine(col("v"), qvCol))),
       "cosine_hof"    -> (() => drive(Ann.cosineHof(col("v"), qvCol))),
       "dist2_native"  -> (() => drive(VectorExprs.dist2(col("v"), qvCol))),
       "dist2_hof"     -> (() => drive(Cluster.dist2(col("v"), qvCol))),
       "nearest_native" -> (() => drive(VectorExprs.nearestCell(col("v")))),
-      "nearest_hof"    -> (() => drive(Cluster.nearestCellHof(col("v"), cents))))
+      "nearest_hof"    -> (() => drive(Cluster.nearestCellHof(col("v"), cents))),
+      "minhash_native" -> (() => driveT(Dedup.minhashSignatureFromTokens(col("toks")))),
+      "minhash_hof"    -> (() => driveT(Dedup.minhashSignatureFromTokensHof(col("toks")))),
+      "simhash_native" -> (() => driveT(Dedup.simhashFromTokens(col("toks")))),
+      "simhash_hof"    -> (() => driveT(Dedup.simhashFromTokensHof(col("toks")))),
+      "tokens_native"  -> (() => driveT(graft.ops.TextOps.tokens(col("txt")))),
+      "tokens_regex"   -> (() => driveT(graft.ops.TextOps.tokensRegex(col("txt")))))
 
     arms.foreach(_._2()) // one untimed warmup pass (JIT + codegen compile)
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -66,7 +88,7 @@ object VectorBench {
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), s)
     }
     val fields = best.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }
-    println(s"""{"rows":$rows,"dims":$dims,"k":$k,"cpus":$cpus,""" +
+    println(s"""{"rows":$rows,"dims":$dims,"k":$k,"hash_rows":$hashRows,"cpus":$cpus,""" +
       fields.mkString(",") + "}")
     spark.stop()
   }

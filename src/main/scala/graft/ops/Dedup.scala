@@ -9,7 +9,8 @@ import org.apache.spark.storage.StorageLevel
   * MinHash+LSH (shingle → minhash → band → bucket join), and SimHash.
   *
   * Scale shape: exact dedup is one shuffle on the content hash. MinHash/LSH
-  * is the 10^10-doc path — signatures are row-local HOF pipelines (no UDF),
+  * is the 10^10-doc path — signatures are row-local fused native expressions
+  * (codegen'd, one token pass; see [[graft.functions.HashExprs]]),
   * candidate generation shuffles on (band, band_hash) buckets only, and the
   * exact Jaccard verify runs on the (tiny) candidate set, never all pairs.
   * The tokenized projection is persisted so the corpus is scanned ONCE per
@@ -86,12 +87,25 @@ object Dedup {
   val MaxBucket = 64L
 
   /** Per-doc MinHash signature from a PRE-PROJECTED distinct-token column:
-    * sig[i] = min over tokens of xxhash64(token, i). The tokens MUST be a
-    * column attribute, not an inline expression — an expression referenced
-    * inside the 32 aggregate lambdas would re-tokenize the text 32× per row
-    * (the same inlining trap as link extraction; see WaveRunner).
+    * sig[i] = min over tokens of xxhash64(token, i), as the fused native
+    * expression ([[graft.functions.MinHashSig]] — one token pass, each
+    * token's bytes hashed once with the k lane values derived by cheap
+    * int-hash chaining; the HOF form below walks the array k times and
+    * re-hashes the full token per lane, interpreted). Callers must have
+    * [[graft.functions.HashExprs.register]]ed on the session (every
+    * [[Dedup]] query does; `GraftExtensions` injects it too).
     */
   def minhashSignatureFromTokens(toks: Column): Column =
+    graft.functions.HashExprs.minhash(toks)
+
+  /** The HOF reference form of [[minhashSignatureFromTokens]] — kept as the
+    * declarative spec the native expression is bit-parity-tested against
+    * (OpsSpec). The tokens MUST be a column attribute, not an inline
+    * expression — an expression referenced inside the 32 aggregate lambdas
+    * would re-tokenize the text 32× per row (the same inlining trap as link
+    * extraction; see WaveRunner).
+    */
+  def minhashSignatureFromTokensHof(toks: Column): Column =
     array((0 until MinhashK).map { i =>
       aggregate(toks, lit(Long.MaxValue), (acc, t) => least(acc, xxhash64(t, lit(i))))
     }: _*)
@@ -131,6 +145,7 @@ object Dedup {
     * re-read + re-tokenize the full corpus twice — two extra 100 TB scans).
     */
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    graft.functions.HashExprs.register(spark)
     // parallelized: a sub-split-size corpus file would otherwise run the
     // tokenize AND the 32-hash signature build on ONE core (see TextOps)
     val toks = TextOps.parallelized(docs(spark, dir))
@@ -345,14 +360,24 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash over distinct tokens: one aggregate HOF accumulating 64
-    * signed counters (zip_with), then bits → long. Row-local, codegen'd.
+  /** 64-bit SimHash over distinct tokens: per token one xxhash64, ±1 on 64
+    * bit counters, bits where the counter is positive — as the fused native
+    * expression ([[graft.functions.SimHash64]]); see the registration note
+    * on [[minhashSignatureFromTokens]]. Row-local.
     */
   def simhash(text: Column): Column =
     simhashFromTokens(array_distinct(TextOps.tokens(text)))
 
   /** SimHash from a pre-projected token column (see minhash note above). */
-  def simhashFromTokens(toks: Column): Column = {
+  def simhashFromTokens(toks: Column): Column =
+    graft.functions.HashExprs.simhash(toks)
+
+  /** The HOF reference form of [[simhashFromTokens]] — kept as the
+    * declarative spec the native expression is bit-parity-tested against
+    * (OpsSpec): one aggregate HOF accumulating 64 signed counters
+    * (zip_with), then bits → long.
+    */
+  def simhashFromTokensHof(toks: Column): Column = {
     val bitRange = sequence(lit(0), lit(63))
     val counters = aggregate(
       toks,
@@ -381,6 +406,7 @@ object Dedup {
     * shuffle carries only surviving pairs.
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    graft.functions.HashExprs.register(spark)
     val d = TextOps.parallelized(docs(spark, dir))
       .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("toks"))
       .select(col("doc_id"), simhashFromTokens(col("toks")).as("sh"))

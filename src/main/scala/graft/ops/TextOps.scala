@@ -68,8 +68,28 @@ object TextOps {
     * lowercase alphabetic runs. Mirrors the reference's fallback tokenizer
     * (`matcher.py:295-304`: `\b[a-zA-Z]{3,}\b` minus stopwords — here the
     * length floor is 1 and stopwords are a fixed literal list).
+    *
+    * Compiled as the native byte-run scanner
+    * ([[graft.functions.AsciiTokens]] — bit-identical to the regex by the
+    * UTF-8 argument on its doc; OpsSpec pins parity) when a session is
+    * active to register against — tokens() is a pure Column builder, so
+    * registration rides the thread's active session, the invariant every
+    * driver-side query construction satisfies. With no active session the
+    * regex form compiles instead: same results, just the slower engine.
     */
   def tokens(text: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.TextExprs.register(s)
+        graft.functions.TextExprs.asciiTokens(lower(text))
+      case None => tokensRegex(text)
+    }
+
+  /** The regex reference form of [[tokens]] — the declarative spec the
+    * native scanner is bit-parity-tested against (OpsSpec), and the
+    * no-active-session fallback.
+    */
+  def tokensRegex(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
 
   val Stopwords: Seq[String] =

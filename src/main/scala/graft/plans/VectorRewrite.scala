@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, DotProduct, L2Dist2, VectorExprs}
+import graft.functions.{AsciiTokens, CosineSim, DotProduct, HashExprs, L2Dist2, MinHashSig, SimHash64, TextExprs, VectorExprs}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -112,5 +112,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(VectorExprs.DotFn),
       info(VectorExprs.DotFn),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier(HashExprs.MinhashFn),
+      info(HashExprs.MinhashFn),
+      (es: Seq[Expression]) => MinHashSig(es(0), graft.ops.Dedup.MinhashK)))
+    ext.injectFunction((FunctionIdentifier(HashExprs.SimhashFn),
+      info(HashExprs.SimhashFn),
+      (es: Seq[Expression]) => SimHash64(es(0))))
+    ext.injectFunction((FunctionIdentifier(TextExprs.TokensFn),
+      info(TextExprs.TokensFn),
+      (es: Seq[Expression]) => AsciiTokens(es(0))))
   }
 }

@@ -30,6 +30,7 @@ class OpsSpec extends SparkSpec {
   }
 
   test("minhash signature: identical texts → identical signatures; stable length") {
+    graft.functions.HashExprs.register(spark)
     val df = Seq(("a b c d e", "a b c d e"), ("a b c d e", "f g h i j"))
       .toDF("t1", "t2")
       .select(Dedup.minhashSignature(col("t1")).as("s1"),
@@ -38,6 +39,92 @@ class OpsSpec extends SparkSpec {
     assert(rows(0).getSeq[Long](0) === rows(0).getSeq[Long](1))
     assert(rows(1).getSeq[Long](0) !== rows(1).getSeq[Long](1))
     assert(rows(0).getSeq[Long](0).length === Dedup.MinhashK)
+  }
+
+  test("native tokenizer is bit-identical to the regex form (corpus + unicode edges)") {
+    // the parity argument: [a-z]+ runs over a LOWERED string are byte runs —
+    // exercised on the real corpus plus the shapes that could break it:
+    // multi-byte UTF-8 straddling runs, Unicode lowercasing that PRODUCES
+    // ascii letters (İ → i + combining dot; K (Kelvin) → k), digits/punct
+    // separators, empty and null strings
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select(col("text"))
+    val edges = Seq(
+      "İstanbul and KELVIN K sign", "ABC def GHI", "a1b2c3", "παν a γλώ b",
+      "🦊fox🦊dog", "", "   ", "no-break space", "ALLCAPS", "ß sharp s"
+    ).toDF("text")
+    for (df <- Seq(corpus, edges)) {
+      val bad = df.select(TextOps.tokens(col("text")).as("n"),
+          TextOps.tokensRegex(col("text")).as("r"))
+        .filter(not(col("n") <=> col("r")))
+      assert(bad.isEmpty, s"native/regex tokenizer mismatch:\n${bad.take(5).mkString("\n")}")
+    }
+    // null propagates identically
+    val r = Seq[Option[String]](None).toDF("text")
+      .select(TextOps.tokens(col("text")).as("n"), TextOps.tokensRegex(col("text")).as("r"))
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("native minhash/simhash are bit-identical to the HOF folds (corpus + edges)") {
+    graft.functions.HashExprs.register(spark)
+    // real corpus texts plus the edge shapes the null/empty semantics cover:
+    // empty token array, empty-string token, null element, unicode, and a
+    // null array (→ NULL through both forms)
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(array_distinct(TextOps.tokens(col("text"))).as("toks"))
+    val edges = Seq(
+      Seq.empty[String], Seq(""), Seq("a"), Seq("a", null, "b"),
+      Seq("καλημέρα", "naïve", "🦊")
+    ).toDF("toks")
+    for (df <- Seq(corpus, edges)) {
+      val got = df.select(
+        Dedup.minhashSignatureFromTokens(col("toks")).as("mn"),
+        Dedup.minhashSignatureFromTokensHof(col("toks")).as("mh"),
+        Dedup.simhashFromTokens(col("toks")).as("sn"),
+        Dedup.simhashFromTokensHof(col("toks")).as("sh")).collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), "minhash lanes")
+        assert(r.getLong(2) === r.getLong(3), "simhash bits")
+      }
+    }
+    // null token array: the HOF's outer array() wrapper yields 32 NULL lanes
+    // while the native signature is NULL — a deliberate divergence (the
+    // native form is saner), and indistinguishable downstream: xxhash64
+    // skips null lanes, so both band every null-text doc to the same
+    // per-band bucket. Pin all three facts.
+    val nr = Seq(Option.empty[Seq[String]]).toDF("toks").select(
+      Dedup.minhashSignatureFromTokens(col("toks")).as("mn"),
+      Dedup.minhashSignatureFromTokensHof(col("toks")).as("mh"),
+      Dedup.simhashFromTokens(col("toks")).as("sn"),
+      Dedup.simhashFromTokensHof(col("toks")).as("sh"),
+      xxhash64(Dedup.minhashSignatureFromTokens(col("toks"))(0),
+        Dedup.minhashSignatureFromTokens(col("toks"))(1), lit(0)).as("bn"),
+      xxhash64(Dedup.minhashSignatureFromTokensHof(col("toks"))(0),
+        Dedup.minhashSignatureFromTokensHof(col("toks"))(1), lit(0)).as("bh"))
+      .head()
+    assert(nr.isNullAt(0), "native minhash of null array is null")
+    assert(nr.getSeq[java.lang.Long](1).forall(_ == null), "HOF yields null lanes")
+    assert(nr.isNullAt(2) && nr.isNullAt(3), "both simhash forms null")
+    assert(nr.getLong(4) === nr.getLong(5), "identical band hash downstream")
+    // interpreted-path parity: force the non-codegen eval() of the native
+    // expressions and compare against the HOF answers again
+    val conf = spark.conf
+    val saved = Seq("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val r = Seq(Seq("x", "y", "z")).toDF("toks")
+        .select(Dedup.minhashSignatureFromTokens(col("toks")).as("mn"),
+          Dedup.minhashSignatureFromTokensHof(col("toks")).as("mh"),
+          Dedup.simhashFromTokens(col("toks")).as("sn"),
+          Dedup.simhashFromTokensHof(col("toks")).as("sh")).head()
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+      assert(r.getLong(2) === r.getLong(3))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
   }
 
   test("simhash pairs: planted boilerplate cluster is capped, never O(n²)") {
@@ -72,6 +159,7 @@ class OpsSpec extends SparkSpec {
   }
 
   test("simhash: near-identical texts within small hamming; distinct texts far") {
+    graft.functions.HashExprs.register(spark)
     val df = Seq(
       ("the quick brown fox jumps over the lazy dog and runs far away tonight",
         "the quick brown fox jumps over the lazy dog and runs far away today"),

@@ -78,6 +78,22 @@ class PlanSpec extends SparkSpec {
     val p = plan(SparkEntry.queries("q_token_stats")(spark, sf))
     assert(p.contains("codegen id"), p) // formatted mode marks codegen spans with [codegen id : N]
     assert(!p.contains("Exchange"), "row-local op must not shuffle")
+    assert(p.contains("asciitokens"),
+      "tokenize must compile to the native byte-run scanner, not the regex")
+  }
+
+  test("dedup signatures compile to the native fused expressions") {
+    // guard against a silent regression to the HOF forms: the signature
+    // builds must carry the fused expressions (one token pass each), and no
+    // ArrayAggregate fold may remain on the signature path
+    val pm = plan(SparkEntry.queries("q_minhash_lsh")(spark, sf))
+    assert(pm.contains("minhashsig"), "minhash must be the native expression")
+    assert(pm.contains("asciitokens"), "tokenize must be native in the LSH path")
+    assert(!pm.toLowerCase.contains("aggregate("),
+      "no HOF fold may remain on the minhash path")
+    val ps = plan(SparkEntry.queries("q_simhash_pairs")(spark, sf))
+    assert(ps.contains("simhash64"), "simhash must be the native expression")
+    spark.catalog.clearCache()
   }
 
   test("semi/anti existence probes plan as joins, not subquery re-scans") {
