@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
 
 /** Optimizer rule: rewrite the declarative higher-order-function vector
   * folds to the fused native expressions in [[graft.functions.VectorExprs]].
@@ -61,6 +61,50 @@ object VectorRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  private def isStringArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(StringType, _) => true
+    case _                        => false
+  }
+
+  /** One lane of the idiomatic HOF MinHash
+    * ([[graft.ops.Dedup.minhashSignatureFromTokensHof]]):
+    * `aggregate(toks, Long.MaxValue, (acc, t) -> least(acc, xxhash64(t, i)))`
+    * with an identity finish and the default seed — yields (toks, i).
+    */
+  private object MinhashLane {
+    def unapply(e: Expression): Option[(Expression, Int)] = e match {
+      case ArrayAggregate(toks, Literal(z, LongType),
+            LambdaFunction(
+              Least(Seq(accRef,
+                XxHash64(Seq(tRef, Literal(i: Int, IntegerType)), 42L))),
+              Seq(acc, t), _),
+            LambdaFunction(fin, Seq(fv), _))
+          if z == Long.MaxValue && sameVar(accRef, acc) && sameVar(tRef, t) &&
+            sameVar(fin, fv) && isStringArray(toks) =>
+        Some((toks, i))
+      case _ => None
+    }
+  }
+
+  /** `array(lane_0, …, lane_{k-1})` over the SAME token column with seeds
+    * exactly 0..k-1 → the fused [[MinHashSig]]. The HOF array wrapper maps a
+    * NULL token array to k null LANES (the array itself non-null) where the
+    * native signature is NULL, so the rewrite keeps the original semantics
+    * with an explicit null branch — bit-equal everywhere, including null.
+    */
+  private def fuseMinhash(lanes: Seq[Expression]): Option[Expression] = {
+    val parsed = lanes.map(MinhashLane.unapply)
+    if (lanes.length < 2 || parsed.exists(_.isEmpty)) return None
+    val ls = parsed.flatten
+    val toks = ls.head._1
+    if (!ls.zipWithIndex.forall { case ((tk, i), idx) =>
+      i == idx && tk.semanticEquals(toks) }) return None
+    Some(If(IsNull(toks),
+      Literal.create(Seq.fill[Any](lanes.length)(null),
+        ArrayType(LongType, containsNull = true)),
+      MinHashSig(toks, lanes.length)))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val folded = plan.transformAllExpressions {
       // dot product: body is x * y
@@ -73,6 +117,9 @@ object VectorRewrite extends Rule[LogicalPlan] {
           if sameVar(x1, lx) && sameVar(y1, ly) &&
             sameVar(x2, lx) && sameVar(y2, ly) =>
         L2Dist2(a, b)
+      // k-lane HOF MinHash: array of per-seed min-hash folds → one fused pass
+      case ca @ CreateArray(lanes, _) =>
+        fuseMinhash(lanes).getOrElse(ca)
     }
     // cosine composition over the dots the pass above just produced:
     // dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))  ->  one fused pass

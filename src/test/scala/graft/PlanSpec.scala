@@ -256,6 +256,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("vector rewrite rule: HOF minhash array-of-folds fuses, bit-equal incl. null") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, TextOps}
+    // HOF form over real corpus tokens plus a NULL token array (the HOF
+    // wrapper yields k null lanes there — the rewrite must preserve that)
+    def build() = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= 0L, array_distinct(TextOps.tokensRegex(col("text"))))
+          .as("toks"))
+      .select(col("doc_id"),
+        Dedup.minhashSignatureFromTokensHof(col("toks")).as("sig"))
+    val before = build().collect()
+
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.VectorRewrite
+    try {
+      val df = build()
+      val opt = df.queryExecution.optimizedPlan.toString()
+      assert(opt.contains("minhashsig"), s"minhash folds must fuse:\n$opt")
+      assert(!opt.contains("aggregate("), s"no HOF fold may remain:\n$opt")
+      val after = df.collect()
+      val bm = before.map(r => r.getLong(0) -> r.getSeq[java.lang.Long](1)).toMap
+      assert(after.length === before.length)
+      after.foreach { r =>
+        assert(r.getSeq[java.lang.Long](1) === bm(r.getLong(0)),
+          s"doc ${r.getLong(0)} lanes differ")
+      }
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.VectorRewrite)
+    }
+  }
+
   test("graft extensions: the injection entry point registers cleanly") {
     // getOrCreate cannot re-extend the shared test session, so exercise the
     // injection surface directly (a fresh SparkSessionExtensions accepts the
