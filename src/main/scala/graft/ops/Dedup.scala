@@ -243,9 +243,14 @@ object Dedup {
         df => df.checkpoint(eager = true)
       case None => df => df.localCheckpoint(eager = true)
     }
-    val sym = ckpt(edges
-      .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
-      .unionByName(edges.select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst"))))
+    // checkpoint the DIRECTED edges first, then symmetrize from the
+    // materialized table: union-ing the raw `edges` lineage with its swap
+    // would embed the edge-producing pipeline (for dupClustersLsh the whole
+    // LSH candidate join + Jaccard verify) TWICE in the first job
+    val e0 = ckpt(edges
+      .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst")))
+    val sym = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
     var labels = ckpt(nodes.select(col("id").cast("long").as("src"),
       col("id").cast("long").as("lbl")))
     // One action per round: label sum (labels only decrease, so the sum is
