@@ -36,6 +36,7 @@ object VectorBench {
     spark.sparkContext.setLogLevel("WARN")
     VectorExprs.register(spark)
     HashExprs.register(spark)
+    graft.functions.TextExprs.register(spark)
 
     // deterministic synthetic corpus, persisted so generation isn't timed
     val e = spark.range(rows).select(col("id").as("vec_id"),
@@ -79,7 +80,12 @@ object VectorBench {
       "simhash_native" -> (() => driveT(Dedup.simhashFromTokens(col("toks")))),
       "simhash_hof"    -> (() => driveT(Dedup.simhashFromTokensHof(col("toks")))),
       "tokens_native"  -> (() => driveT(graft.ops.TextOps.tokens(col("txt")))),
-      "tokens_regex"   -> (() => driveT(graft.ops.TextOps.tokensRegex(col("txt")))))
+      "tokens_regex"   -> (() => driveT(graft.ops.TextOps.tokensRegex(col("txt")))),
+      "grams2_native"  -> (() => driveT(graft.functions.TextExprs.grams(col("toks"), 2))),
+      "grams2_hof"     -> (() => driveT(graft.ops.Prep.gramArrHof(col("toks"), 2))),
+      "nonstop_native" -> (() => driveT(graft.functions.TextExprs.nonStop(col("toks")))),
+      "nonstop_hof"    -> (() => driveT(filter(col("toks"), t =>
+        !t.isin(graft.ops.TextOps.Stopwords.map(_.asInstanceOf[Any]): _*)))))
 
     arms.foreach(_._2()) // one untimed warmup pass (JIT + codegen compile)
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()

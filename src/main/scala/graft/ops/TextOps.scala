@@ -101,16 +101,40 @@ object TextOps {
   def contentTokens(text: Column): Column =
     array_except(tokens(text), stopwordsLit)
 
-  /** Non-stopword tokens with duplicates kept (for tf counting). */
+  /** Non-stopword tokens with duplicates kept (for tf counting). Native
+    * one-pass hashed-probe filter when a session is active (the same
+    * registration pattern as [[tokens]]); the HOF reference form below is
+    * the fallback and the parity spec.
+    */
   def nonStopTokens(text: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.TextExprs.register(s)
+        graft.functions.TextExprs.nonStop(tokens(text))
+      case None => nonStopTokensHof(text)
+    }
+
+  /** HOF reference form of [[nonStopTokens]] (parity spec + fallback). */
+  def nonStopTokensHof(text: Column): Column =
     filter(tokens(text), t => !t.isin(Stopwords.map(_.asInstanceOf[Any]): _*))
 
   /** Adjacent-token bigrams joined by a single space, from an already-filtered
     * token array (the reference vectorizer builds ngrams AFTER stopword
-    * removal — sklearn semantics, `matcher.py:46-50`). Row-local, codegen'd;
-    * empty for arrays shorter than 2.
+    * removal — sklearn semantics, `matcher.py:46-50`). Row-local; compiled
+    * as the fused native k-gram scan ([[graft.functions.WordGrams]]) when a
+    * session is active; empty for arrays shorter than 2 (and for a NULL
+    * array — both forms).
     */
   def bigrams(toks: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.TextExprs.register(s)
+        graft.functions.TextExprs.grams(toks, 2)
+      case None => bigramsHof(toks)
+    }
+
+  /** HOF reference form of [[bigrams]] (parity spec + fallback). */
+  def bigramsHof(toks: Column): Column =
     when(size(toks) >= 2,
       zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat_ws(" ", a, b)))
@@ -214,9 +238,11 @@ object TextOps {
     * references attributes, not re-evaluated filters.
     */
   private def withPredictedLang(df: DataFrame, tks: Column): DataFrame = {
+    graft.functions.TextExprs.register(df.sparkSession)
     val withHits = langMarkers.foldLeft(df) { case (d, (l, ms)) =>
-      d.withColumn(s"__c_$l",
-        size(filter(tks, t => t.isin(ms.map(_.asInstanceOf[Any]): _*))))
+      // native hashed-probe membership count — exact semantics of
+      // size(filter(tks, isin(ms…))), see [[graft.functions.SetHits]]
+      d.withColumn(s"__c_$l", graft.functions.TextExprs.setHits(tks, ms))
     }
     val pred = langMarkers.map(_._1).foldRight(lit("und"): Column) { (l, els) =>
       val c = col(s"__c_$l")
@@ -265,11 +291,13 @@ object TextOps {
     * between engines (a double formulation flaked at exactly .xxxx5).
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprs.register(spark)
     val tks    = tokens(col("text"))
     val nWords = size(tks).cast("long")
-    val stopHits = size(filter(tks,
-      t => t.isin(Stopwords.map(_.asInstanceOf[Any]): _*))).cast("long")
-    val sumLen = aggregate(tks, lit(0), (acc, t) => acc + length(t)).cast("long")
+    // native one-pass membership count and character sum — exact semantics
+    // of size(filter(isin)) / aggregate(acc + length) (OpsSpec parity)
+    val stopHits = graft.functions.TextExprs.setHits(tks, Stopwords).cast("long")
+    val sumLen = graft.functions.TextExprs.charSum(tks)
     parallelized(docs(spark, dir))
       .withColumn("__nw", nWords)
       .withColumn("__sh", stopHits)
@@ -328,6 +356,7 @@ object TextOps {
   def corpusPrep(spark: SparkSession, dir: String,
       minQualityBp: Long = 4000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.TextExprs.register(spark)
     val d0 = docs(spark, dir)
     // exact dedup keep-min as a PARTITIONED window (rank within each content
     // hash), not a groupBy + self-semi-join — the join form reads the corpus
@@ -344,10 +373,9 @@ object TextOps {
       // hoist tokens into an attribute — every stat below references it
       .withColumn("__tks", tokens(col("text")))
       .withColumn("__nw", size(col("__tks")).cast("long"))
-      .withColumn("__sh", size(filter(col("__tks"),
-        t => t.isin(Stopwords.map(_.asInstanceOf[Any]): _*))).cast("long"))
-      .withColumn("__sl",
-        aggregate(col("__tks"), lit(0), (acc, t) => acc + length(t)).cast("long"))
+      .withColumn("__sh",
+        graft.functions.TextExprs.setHits(col("__tks"), Stopwords).cast("long"))
+      .withColumn("__sl", graft.functions.TextExprs.charSum(col("__tks")))
       .withColumn("quality_bp",
         (lit(50L) * least(col("__nw"), lit(100L)) +
           expr("(2500 * __sh) DIV greatest(__nw, 1)") +

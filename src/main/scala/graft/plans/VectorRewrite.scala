@@ -168,5 +168,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(TextExprs.TokensFn),
       info(TextExprs.TokensFn),
       (es: Seq[Expression]) => AsciiTokens(es(0))))
+    ext.injectFunction((FunctionIdentifier(TextExprs.GramsFn),
+      info(TextExprs.GramsFn), TextExprs.gramsBuilder))
+    ext.injectFunction((FunctionIdentifier(TextExprs.NonStopFn),
+      info(TextExprs.NonStopFn), TextExprs.nonStopBuilder))
+    ext.injectFunction((FunctionIdentifier(TextExprs.CharSumFn),
+      info(TextExprs.CharSumFn),
+      (es: Seq[Expression]) => graft.functions.CharSum(es(0))))
+    ext.injectFunction((FunctionIdentifier(TextExprs.SetHitsFn),
+      info(TextExprs.SetHitsFn), TextExprs.setHitsBuilder))
   }
 }

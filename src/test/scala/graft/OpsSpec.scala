@@ -65,6 +65,47 @@ class OpsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("native grams/nonstop/charsum/sethits match their HOF forms (corpus + edges)") {
+    graft.functions.TextExprs.register(spark)
+    import graft.functions.TextExprs
+    // HOF reference forms, written inline where no main-source form exists
+    def charSumHof(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0), (acc, t) => acc + length(t)).cast("long")
+    def setHitsHof(c: org.apache.spark.sql.Column, ws: Seq[String]) =
+      size(filter(c, t => t.isin(ws.map(_.asInstanceOf[Any]): _*)))
+    val stops = TextOps.Stopwords
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text"), TextOps.tokensRegex(col("text")).as("toks"))
+    // edge arrays: empty, single, stopword-only, null element mid-gram,
+    // unicode, and a null array (grams → EMPTY both forms; filter → null)
+    val edges = Seq(
+      (Some(Seq.empty[String]), "x"), (Some(Seq("alpha")), "alpha"),
+      (Some(Seq("the", "a")), "the a"), (Some(Seq("a", null, "b")), "a b"),
+      (Some(Seq("παν", "naïve", "z")), "παν naïve z"), (None, "")
+    ).toDF("toks", "text")
+    for (df <- Seq(corpus, edges); k <- Seq(1, 2, 3)) {
+      val bad = df.select(
+          TextExprs.grams(col("toks"), k).as("gn"),
+          graft.ops.Prep.gramArrHof(col("toks"), k).as("gh"),
+          TextExprs.nonStop(col("toks")).as("fn"),
+          filter(col("toks"), t => !t.isin(stops.map(_.asInstanceOf[Any]): _*)).as("fh"),
+          TextExprs.charSum(col("toks")).as("cn"),
+          charSumHof(col("toks")).as("ch"),
+          TextExprs.setHits(col("toks"), stops).as("sn"),
+          setHitsHof(col("toks"), stops).as("sh"))
+        .filter(not(col("gn") <=> col("gh")) || not(col("fn") <=> col("fh")) ||
+          not(col("cn") <=> col("ch")) || not(col("sn") <=> col("sh")))
+      assert(bad.isEmpty, s"k=$k mismatch:\n${bad.take(3).mkString("\n")}")
+    }
+    // bigrams() and nonStopTokens() public forms vs their HOF references
+    val bad2 = corpus.select(
+        TextOps.bigrams(col("toks")).as("bn"), TextOps.bigramsHof(col("toks")).as("bh"),
+        TextOps.nonStopTokens(col("text")).as("nn"),
+        TextOps.nonStopTokensHof(col("text")).as("nh"))
+      .filter(not(col("bn") <=> col("bh")) || not(col("nn") <=> col("nh")))
+    assert(bad2.isEmpty, s"bigrams/nonstop mismatch:\n${bad2.take(3).mkString("\n")}")
+  }
+
   test("native minhash/simhash are bit-identical to the HOF folds (corpus + edges)") {
     graft.functions.HashExprs.register(spark)
     // real corpus texts plus the edge shapes the null/empty semantics cover:
