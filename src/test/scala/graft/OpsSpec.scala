@@ -65,6 +65,52 @@ class OpsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("property: native text/hash expressions match HOF forms on random inputs") {
+    graft.functions.HashExprs.register(spark)
+    graft.functions.TextExprs.register(spark)
+    import org.scalacheck.Gen
+    // random TEXTS: mixed unicode/ascii/digits/punct/whitespace — drives the
+    // tokenizer parity over shapes no fixture anticipates
+    val textGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaStr, Gen.numStr, Gen.oneOf(" ", "\t", "\n", "-", "_", "!", "É",
+        "ß", "İ", "🦊", "κ", " ", "K"), Gen.asciiPrintableStr))
+      .map(_.mkString)
+    // random TOKEN ARRAYS: lowercase words, stopwords, empties, nulls
+    val tokGen = Gen.listOf(Gen.frequency(
+      6 -> Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString),
+      2 -> Gen.oneOf(TextOps.Stopwords),
+      1 -> Gen.const(""),
+      1 -> Gen.const(null: String))).map(_.toSeq)
+    val texts = GenHelper.samples(textGen, 300).toDF("text")
+    val toks  = GenHelper.samples(tokGen, 300).toDF("toks")
+
+    val badText = texts.select(TextOps.tokens(col("text")).as("n"),
+        TextOps.tokensRegex(col("text")).as("r"))
+      .filter(not(col("n") <=> col("r")))
+    assert(badText.isEmpty, s"tokenizer property failed:\n${badText.take(3).mkString("\n")}")
+
+    def charSumHof(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0), (acc, t) => acc + length(t)).cast("long")
+    val stops = TextOps.Stopwords
+    val badTok = toks.select(
+        Dedup.minhashSignatureFromTokens(col("toks")).as("mn"),
+        Dedup.minhashSignatureFromTokensHof(col("toks")).as("mh"),
+        Dedup.simhashFromTokens(col("toks")).as("xn"),
+        Dedup.simhashFromTokensHof(col("toks")).as("xh"),
+        graft.functions.TextExprs.grams(col("toks"), 2).as("gn"),
+        graft.ops.Prep.gramArrHof(col("toks"), 2).as("gh"),
+        graft.functions.TextExprs.nonStop(col("toks")).as("fn"),
+        filter(col("toks"), t => !t.isin(stops.map(_.asInstanceOf[Any]): _*)).as("fh"),
+        graft.functions.TextExprs.charSum(col("toks")).as("cn"),
+        charSumHof(col("toks")).as("ch"),
+        graft.functions.TextExprs.setHits(col("toks"), stops).as("sn"),
+        size(filter(col("toks"), t => t.isin(stops.map(_.asInstanceOf[Any]): _*))).as("sh"))
+      .filter(not(col("mn") <=> col("mh")) || not(col("xn") <=> col("xh")) ||
+        not(col("gn") <=> col("gh")) || not(col("fn") <=> col("fh")) ||
+        not(col("cn") <=> col("ch")) || not(col("sn") <=> col("sh")))
+    assert(badTok.isEmpty, s"token-array property failed:\n${badTok.take(3).mkString("\n")}")
+  }
+
   test("native grams/nonstop/charsum/sethits match their HOF forms (corpus + edges)") {
     graft.functions.TextExprs.register(spark)
     import graft.functions.TextExprs
