@@ -208,6 +208,19 @@ class OpsSpec extends SparkSpec {
           Dedup.simhashFromTokensHof(col("toks")).as("sh")).head()
       assert(r.getSeq[Long](0) === r.getSeq[Long](1))
       assert(r.getLong(2) === r.getLong(3))
+      // the text expressions with codegen separate from eval(): tokenizer,
+      // char sum, and the null→empty grams branch, on the interpreted path
+      graft.functions.TextExprs.register(spark)
+      val t = Seq(("İs KELVIN K a1b2 🦊fox", Seq("ab", "cd", "ef"))).toDF("text", "toks")
+        .select(TextOps.tokens(col("text")).as("tn"),
+          TextOps.tokensRegex(col("text")).as("tr"),
+          graft.functions.TextExprs.charSum(col("toks")).as("cn"),
+          aggregate(col("toks"), lit(0), (acc, x) => acc + length(x)).cast("long").as("ch"),
+          graft.functions.TextExprs.grams(lit(null).cast("array<string>"), 2).as("gn"))
+        .head()
+      assert(t.getSeq[String](0) === t.getSeq[String](1))
+      assert(t.getLong(2) === t.getLong(3))
+      assert(t.getSeq[String](4) === Seq.empty)
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None)    => conf.unset(k)
