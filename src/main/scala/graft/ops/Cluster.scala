@@ -114,8 +114,14 @@ object Cluster {
   def semanticNearDup(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 3, threshold: Double = 0.3): DataFrame = {
     graft.functions.VectorExprs.register(spark)
+    // persist the assignment projection: it feeds BOTH sides of the
+    // within-cluster self-join — unpersisted, the final k-means assignment
+    // pass (a full corpus scan + nearest-cell eval) executed twice per query
+    // (the r5 verdict's doubled-scan finding; guide §2.4). Callers release
+    // via `clearCache()`.
     val a = kmeansAssign(emb(spark, dir), k, iters, Ann.Dims)
       .select(col("vec_id"), col("cluster"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = a.select(col("cluster"), col("vec_id").as("a_id"), col("v").as("a_v"))
     val r = a.select(col("cluster").as("__rc"), col("vec_id").as("b_id"),
       col("v").as("b_v"))

