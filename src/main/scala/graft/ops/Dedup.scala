@@ -144,6 +144,19 @@ object Dedup {
     banded.join(bucketSizes, keyCols)
   }
 
+  /** All a<b member pairs of a SORTED array, row-local (codegen'd HOFs):
+    * element i paired with every later element. Replaces the bucket
+    * SELF-JOIN of the LSH family (round 6): members per bucket are bounded
+    * by [[MaxBucket]], so collecting them and exploding the ≤k(k-1)/2 pairs
+    * in place removes a sort-merge join (two sorts + a duplicated
+    * bucket-cap subtree) for one partial-aggregating collect shuffle whose
+    * per-group state the cap bounds.
+    */
+  private[graft] def sortedPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)), y =>
+        struct(x.as("a"), y.as("b")))))
+
   /** MinHash/LSH near-duplicate candidate pairs, verified with exact token
     * Jaccard ≥ `threshold`. Bucket join on (band, band-hash); candidate pairs
     * are deduplicated across bands before the verify join.
@@ -167,14 +180,17 @@ object Dedup {
         xxhash64((0 until BandRows).map(r => col("sig")(b * BandRows + r)) :+ lit(b): _*)
       }: _*)).as(Seq("band", "band_hash")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // cap bucket sizes BEFORE the self-join — the quadratic pair explosion
-    // of giant (boilerplate) buckets is the classic LSH failure mode
+    // cap bucket sizes BEFORE pair generation — the quadratic pair explosion
+    // of giant (boilerplate) buckets is the classic LSH failure mode; the
+    // cap also bounds the collect_list buffer below, so the grouped pair
+    // emission is skew-free by construction
     val bounded = boundedBuckets(banded, Seq("band", "band_hash"), "minhash_lsh")
-    val l = bounded.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
-    val r = bounded.select(col("band"), col("band_hash"), col("doc_id").as("b_id"))
-    val candidates = l.join(r, Seq("band", "band_hash"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+    val candidates = bounded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .distinct()
     candidates
       .join(toks.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), "a_id")
       .join(toks.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), "b_id")
@@ -501,14 +517,15 @@ object Dedup {
       .as(Seq("band", "band_val")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bounded = boundedBuckets(banded, Seq("band", "band_val"), "simhash_pairs")
-    val l = bounded.select(col("band"), col("band_val"),
-      col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val r = bounded.select(col("band"), col("band_val"),
-      col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    l.join(r, Seq("band", "band_val"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
+    // same grouped pair emission as the MinHash path (round 6): members are
+    // (doc_id, sh) structs so the hamming verify stays row-local; sort_array
+    // orders by doc_id (the leading struct field), so a < b by construction
+    bounded
+      .groupBy(col("band"), col("band_val"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("ms"))
+      .select(explode(sortedPairs(col("ms"))).as("p"))
+      .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+        bit_count(col("p.a.sh").bitwiseXOR(col("p.b.sh"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

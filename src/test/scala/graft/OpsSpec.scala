@@ -247,6 +247,23 @@ class OpsSpec extends SparkSpec {
       s"expected only the planted pair; got ${pairs.size} pairs")
   }
 
+  test("sortedPairs: grouped pair emission equals the quadratic a<b reference") {
+    // the round-6 LSH rewrite replaced the capped bucket SELF-JOIN with
+    // collect_list + this row-local pair explosion — pin its semantics
+    // against the quadratic reference on empty/singleton/small/cap-sized
+    // member arrays
+    val arrs: Seq[Seq[Long]] = Seq(Seq(), Seq(7L), Seq(3L, 5L),
+      Seq(1L, 2L, 4L, 9L), (1L to Dedup.MaxBucket).map(_.toLong))
+    arrs.foreach { ids =>
+      val got = Seq(ids).toDF("ids")
+        .select(explode(Dedup.sortedPairs(col("ids"))).as("p"))
+        .select(col("p.a"), col("p.b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for { a <- ids; b <- ids if a < b } yield (a, b)).toSet
+      assert(got === want, s"pairs differ for $ids")
+    }
+  }
+
   test("minhash LSH: one corpus scan — reads go through the cached projection") {
     val df = Dedup.minhashLshPairs(spark, sf)
     val p  = df.queryExecution.explainString(
