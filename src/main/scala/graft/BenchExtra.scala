@@ -67,8 +67,23 @@ object BenchExtra {
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        // per-stage breakdown (GRAFT_BENCHX_STAGES=1): run time vs task count
+        // localizes which stage of a multi-stage query owns the task_ms
+        if (sys.env.contains("GRAFT_BENCHX_STAGES")) {
+          val si = s.stageInfo
+          val tm = si.taskMetrics
+          System.err.println(f"[benchx-stage] id=${si.stageId} tasks=${si.numTasks} " +
+            f"run_ms=${if (tm != null) tm.executorRunTime else -1L} " +
+            f"cpu_ms=${if (tm != null) tm.executorCpuTime / 1000000 else -1L} " +
+            f"gc_ms=${if (tm != null) tm.jvmGCTime else -1L} " +
+            f"deser_ms=${if (tm != null) tm.executorDeserializeTime else -1L} " +
+            f"sr_mb=${if (tm != null) tm.shuffleReadMetrics.totalBytesRead / 1e6 else -1.0}%.1f " +
+            f"sw_mb=${if (tm != null) tm.shuffleWriteMetrics.bytesWritten / 1e6 else -1.0}%.1f " +
+            s"name=${si.name.takeWhile(_ != '\n').take(80)}")
+        }
+      }
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)

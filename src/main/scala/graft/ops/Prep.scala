@@ -238,7 +238,12 @@ object Prep {
     // the same cached arrays for the occurrence counts.
     val garr = base
       .select(col("doc_id"), gramArr(TextOps.tokens(col("text")), n).as("gs"))
-      .persist()
+      // eager localCheckpoint, not persist (round 6, guide §5): the gram
+      // arrays are consumed by the boilerplate-set BROADCAST subtree and the
+      // scoring branch — concurrent jobs that each rebuilt a lazy cache, and
+      // the array-heavy CachedBatch encode/decode cost more than the rows
+      // (the minhashLshPairs finding)
+      .localCheckpoint()
     val boiler = garr
       .select(explode(array_distinct(col("gs"))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("nd"))
@@ -294,13 +299,21 @@ object Prep {
       chunk: Int = ChunkTokens): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("pos"))
+    // the tokenless-doc guard lives INSIDE the explode expression, not in a
+    // `.filter(size(toks) >= 1)` (round 6, guide §4.4): a filter over the
+    // aliased token array was pushed below the projection with the tokenizer
+    // SUBSTITUTED into the predicate — tokenizing every row twice (the same
+    // duplication corpusPrep hit). posexplode of the empty CASE branch emits
+    // no rows, so tokenless documents drop exactly as the filter dropped
+    // them (NULL text → NULL size → ELSE branch — the filter's NULL
+    // semantics too); `sequence(0, -1)` stepping DOWN is still unreachable.
     TextOps.parallelized(docs(spark, dir))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 1) // sequence(0, -1) would step DOWN
       .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, CAST((size(toks) - 1) DIV $chunk AS INT)),
-           |  i -> concat_ws(' ', slice(toks, i * $chunk + 1, $chunk)))"""
-          .stripMargin)))
+        s"""CASE WHEN size(toks) >= 1 THEN
+           |  transform(sequence(0, CAST((size(toks) - 1) DIV $chunk AS INT)),
+           |    i -> concat_ws(' ', slice(toks, i * $chunk + 1, $chunk)))
+           |ELSE array() END""".stripMargin)))
       .withColumnRenamed("col", "chunk")
       .withColumn("kept", (row_number().over(w) === 1).cast("long"))
       .groupBy(col("doc_id"))
@@ -509,7 +522,9 @@ object Prep {
       .select(col("doc_id"), array_distinct(gramArr(TextOps.tokens(col("text")), n)).as("gs"))
       .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
         explode(col("gs")).as("g"))
-      .persist()
+      // eager localCheckpoint: the eval side is a broadcast subtree racing
+      // the train branch over a lazy cache (see boilerplateGrams)
+      .localCheckpoint()
     val ev = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("g")).distinct().withColumn("__hit", lit(1L))
     grams.filter(col("doc_id") % evalMod =!= 0)
@@ -555,7 +570,13 @@ object Prep {
       .foldRight(lit(MixDefaultQuota): Column) { case ((s, q), els) =>
         when(col("source") === s, lit(q)).otherwise(els)
       }
-    TextOps.parallelized(docs(spark, dir))
+    // NO parallelized() here (round 6, guide §2.4 — remove shuffles
+    // outright): unlike the tokenizing operators, this query has no
+    // expensive per-row stage before its window — the md5 sort key is
+    // evaluated after the window's own source-keyed exchange, which
+    // redistributes the rows regardless, so the conditional round-robin
+    // repartition was a second full shuffle of the corpus rows for nothing.
+    docs(spark, dir)
       .select(col("doc_id"), col("source"),
         row_number().over(w).cast("long").as("rn"))
       .filter(col("rn") <= quota)

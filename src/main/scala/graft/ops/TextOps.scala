@@ -361,17 +361,32 @@ object TextOps {
     // exact dedup keep-min as a PARTITIONED window (rank within each content
     // hash), not a groupBy + self-semi-join — the join form reads the corpus
     // twice; this is one scan + one hash-partitioned shuffle
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
     // explicit hash repartition on the window key: it satisfies the window's
     // clustering requirement AND pins the post-shuffle parallelism — AQE
     // would coalesce this sub-MB exchange to ~1 partition and serialize the
-    // tokenize/scoring stages that follow it
+    // tokenize/scoring stages that follow it.
+    //
+    // __h and __tks are computed BELOW the window on purpose (round 6, guide
+    // §4.4 — stop the optimizer duplicating expensive expressions): with
+    // __tks projected ABOVE the window, the final quality/language filter
+    // was pushed down through the projections with alias SUBSTITUTION,
+    // yielding a predicate that re-evaluated `asciitokens(lower(text))` 15×
+    // per row (plus 8 sethits/charsum re-derivations) before the projections
+    // computed it all again — measured at ~40 s of summed task time against
+    // ~0.1 s for the same corpus in q_token_stats. A predicate cannot push
+    // through a window except on partition keys, so anchoring __tks below
+    // the window makes the filter reference the ATTRIBUTE: tokenize runs
+    // once per row. (The window's sort rows carry __tks instead of text —
+    // same order of bytes, text itself is projected away.)
     val P = spark.sparkContext.defaultParallelism
-    val base = d0.repartition(P, md5(col("text")))
+    val base = d0
+      .withColumn("__h", md5(col("text")))
+      .repartition(P, col("__h"))
+      .withColumn("__tks", tokens(col("text")))
+      .select(col("doc_id"), col("__h"), col("__tks"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      // hoist tokens into an attribute — every stat below references it
-      .withColumn("__tks", tokens(col("text")))
       .withColumn("__nw", size(col("__tks")).cast("long"))
       .withColumn("__sh",
         graft.functions.TextExprs.setHits(col("__tks"), Stopwords).cast("long"))
@@ -460,7 +475,22 @@ object TextOps {
       .select(col("doc_id"), nonStopTokens(col("text")).as("toks"))
       .select(col("doc_id"),
         concat(col("toks"), bigrams(col("toks"))).as("terms"))
-    val tf = terms(parallelized(docs(spark, dir)))
+    // HASH-repartition the corpus by doc_id (round 6, guide §2.4 — share one
+    // exchange): HashPartitioning(doc_id) satisfies the clustering
+    // requirement of BOTH the (doc_id, term) tf aggregation AND the final
+    // per-doc dot/norm aggregation, so the raw text is shuffled ONCE and no
+    // term-level rows ever cross the network — the old round-robin
+    // `parallelized()` form paid a tf exchange of every (doc_id, term)
+    // partial (~3× the text bytes: unigrams + bigrams + per-row overhead)
+    // plus a second exchange of the weighted rows into the dot/norm
+    // aggregation. The explicit partition count pins post-shuffle
+    // parallelism exactly as `corpusPrep` does (AQE would coalesce the
+    // sub-MB sandbox exchange to 1 partition and serialize the tokenize).
+    // Results are unchanged: aggregation contents are partitioning-
+    // independent, and the per-doc float sums were already order-free
+    // (cached tf row order, AQE) before the 4-decimal rounding.
+    val P = spark.sparkContext.defaultParallelism
+    val tf = terms(docs(spark, dir).repartition(P, col("doc_id")))
       .select(col("doc_id"), explode(col("terms")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -60,9 +60,15 @@ object InvertedIndex {
       .orderBy(col("count").desc, col("term").asc)
       .limit(2)
       .select(col("term"))
+    // postings are DISTINCT per (doc_id, term) by construction — [[postings]]
+    // explodes `contentTokens`, whose array_except dedups the token array —
+    // so count(*) ≡ countDistinct(term) per doc. The countDistinct form
+    // planned a two-exchange distinct-expand chain (hash on (doc_id, term),
+    // re-hash on doc_id); the plain count is ONE partial-aggregating
+    // exchange on doc_id (guide §2.3/§2.4 — round 6).
     val matched = p.join(broadcast(queryTerms), "term")
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("term")).as("n_hit"))
+      .agg(count(lit(1)).as("n_hit"))
       .filter(col("n_hit") === 2)
     docs.join(matched, "doc_id")
       .select(col("doc_id"), col("source"), col("n_hit"))

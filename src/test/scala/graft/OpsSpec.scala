@@ -268,7 +268,12 @@ class OpsSpec extends SparkSpec {
     val df = Dedup.minhashLshPairs(spark, sf)
     val p  = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(p.contains("InMemoryTableScan"), "token projection must be persisted")
+    // the projection is materialized as an eager localCheckpoint (round 6 —
+    // plain-row blocks, no columnar cache encode/decode); it appears in the
+    // plan as an ExistingRDD scan. A persisted (InMemoryTableScan) form is
+    // also accepted — the contract is materialized-once, either way.
+    assert(p.contains("Scan ExistingRDD") || p.contains("InMemoryTableScan"),
+      "token projection must be materialized (checkpoint or cache)")
     val docScans = p.linesIterator.count(l =>
       l.contains("Scan parquet") && l.contains("documents"))
     assert(docScans <= 1, s"documents scanned $docScans times:\n$p")

@@ -84,14 +84,22 @@ class PlanSpec extends SparkSpec {
 
   test("dedup signatures compile to the native fused expressions") {
     // guard against a silent regression to the HOF forms: the signature
-    // builds must carry the fused expressions (one token pass each), and no
-    // ArrayAggregate fold may remain on the signature path
-    val pm = plan(SparkEntry.queries("q_minhash_lsh")(spark, sf))
+    // builders must compile to the fused expressions (one token pass each),
+    // and no ArrayAggregate fold may remain on the signature path. Asserted
+    // on the builders directly (round 6): the LSH queries materialize their
+    // signature projections as eager localCheckpoints, so the natives run
+    // during construction and no longer appear in the RETURNED plan — the
+    // builders below are the exact Columns those projections are built from
+    // (minhashSignature = minhashSignatureFromTokens ∘ tokens; simhash =
+    // simhashFromTokens ∘ tokens).
+    graft.functions.HashExprs.register(spark)
+    val base = spark.range(1).selectExpr("CAST(id AS STRING) AS text")
+    val pm = plan(base.select(graft.ops.Dedup.minhashSignature(org.apache.spark.sql.functions.col("text")).as("sig")))
     assert(pm.contains("minhashsig"), "minhash must be the native expression")
     assert(pm.contains("asciitokens"), "tokenize must be native in the LSH path")
     assert(!pm.toLowerCase.contains("aggregate("),
       "no HOF fold may remain on the minhash path")
-    val ps = plan(SparkEntry.queries("q_simhash_pairs")(spark, sf))
+    val ps = plan(base.select(graft.ops.Dedup.simhash(org.apache.spark.sql.functions.col("text")).as("sh")))
     assert(ps.contains("simhash64"), "simhash must be the native expression")
     spark.catalog.clearCache()
   }
@@ -190,8 +198,11 @@ class PlanSpec extends SparkSpec {
     val pd = SparkEntry.queries("q_decontaminate")(spark, sf)
     val dp = plan(pd)
     assert(dp.contains("BroadcastHashJoin"), "eval gram set must broadcast")
-    assert(dp.contains("InMemoryTableScan") || dp.contains("InMemoryRelation"),
-      s"gram projection must be persisted (single corpus scan):\n$dp")
+    // materialized as an eager localCheckpoint (round 6) → ExistingRDD
+    // scan; a persisted (InMemoryRelation) form is also accepted
+    assert(dp.contains("Scan ExistingRDD") || dp.contains("InMemoryTableScan")
+        || dp.contains("InMemoryRelation"),
+      s"gram projection must be materialized (single corpus scan):\n$dp")
     spark.catalog.clearCache()
     // domain mix: the quota rank must be a source-PARTITIONED window (local
     // per-domain rank after one hash shuffle, never a global sort)
